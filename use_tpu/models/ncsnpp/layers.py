@@ -1,0 +1,316 @@
+"""NCSN++ building blocks in Flax (NHWC, TPU-native).
+
+Re-designed from the behavior of the reference layers (reference:
+src/models/components/sgmse/backbones/ncsnpp_utils/layerspp.py:30-314 and
+layers.py:66-163,639-650): Gaussian-Fourier time embedding, NIN (1x1 dense
+over channels), channelwise self-attention, FIR up/down sampling blocks and
+BigGAN-style residual blocks.
+
+Layout: all activations are ``[B, H(=freq), W(=frames), C]``. All parameter
+shapes follow Flax conventions (conv kernels HWIO, dense kernels [in, out]);
+the torch-checkpoint converter (use_tpu/engine/convert_torch.py) performs the
+transpositions.
+
+Submodule names intentionally match the reference's attribute names
+(GroupNorm_0, Conv_0, Dense_0, NIN_0, ...) so converted checkpoints map 1:1.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from use_tpu.ops.upfirdn2d import (
+    conv_downsample_2d,
+    downsample_2d,
+    naive_downsample_2d,
+    naive_upsample_2d,
+    upsample_2d,
+    upsample_conv_2d,
+)
+
+Dtype = Any
+
+
+def get_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation zoo (reference layers.py:29-41)."""
+    if name == "elu":
+        return jax.nn.elu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "swish":
+        return jax.nn.silu
+    raise NotImplementedError("activation function does not exist!")
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initialization: variance_scaling(scale, fan_avg, uniform).
+
+    Reference parity: layers.py:66-103 (itself 'ported from JAX').
+    """
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def conv3x3(
+    out_planes: int, stride: int = 1, bias: bool = True, dilation: int = 1,
+    init_scale: float = 1.0, name: Optional[str] = None, dtype: Dtype = jnp.float32,
+) -> nn.Conv:
+    """3x3 conv with DDPM init (layers.py:146-162)."""
+    return nn.Conv(
+        out_planes, (3, 3), strides=(stride, stride), padding=dilation,
+        kernel_dilation=(dilation, dilation), use_bias=bias,
+        kernel_init=default_init(init_scale), bias_init=nn.initializers.zeros,
+        name=name, dtype=dtype,
+    )
+
+
+def conv1x1(
+    out_planes: int, stride: int = 1, bias: bool = True, init_scale: float = 1.0,
+    name: Optional[str] = None, dtype: Dtype = jnp.float32,
+) -> nn.Conv:
+    """1x1 conv with DDPM init (layers.py:111-118)."""
+    return nn.Conv(
+        out_planes, (1, 1), strides=(stride, stride), padding=0, use_bias=bias,
+        kernel_init=default_init(init_scale), bias_init=nn.initializers.zeros,
+        name=name, dtype=dtype,
+    )
+
+
+def group_norm(channels: int, name: Optional[str] = None) -> nn.GroupNorm:
+    """GroupNorm(min(C//4, 32), eps=1e-6) as used across NCSN++."""
+    return nn.GroupNorm(
+        num_groups=min(max(channels // 4, 1), 32), epsilon=1e-6, name=name,
+        dtype=jnp.float32,
+    )
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for (log-)noise levels (layerspp.py:30-39).
+
+    W is a frozen random projection; it lives in 'params' so checkpoint
+    conversion is uniform, and the optimizer masks it out of updates
+    (see use_tpu/engine/optim.py).
+    """
+
+    embedding_size: int = 256
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embedding_size,),
+        )
+        w = jax.lax.stop_gradient(w)
+        x_proj = x[:, None] * w[None, :] * 2 * np.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network' dense over the channel axis (layers.py:639-650)."""
+
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        w = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        return jnp.einsum("...c,cd->...d", x, w) + b
+
+
+class Combine(nn.Module):
+    """Combine a skip pyramid with features (layerspp.py:42-57)."""
+
+    dim2: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        h = conv1x1(self.dim2, name="Conv_0")(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlockpp(nn.Module):
+    """Channel-wise self-attention over the full F x T grid (layerspp.py:60-93).
+
+    Computed as two batched matmuls over the flattened spatial axis — a pure
+    MXU workload: [B, HW, C] @ [B, C, HW] -> softmax -> @ [B, HW, C].
+    """
+
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        hid = group_norm(c, name="GroupNorm_0")(x)
+        q = NIN(c, name="NIN_0")(hid).reshape(b, h * w, c)
+        k = NIN(c, name="NIN_1")(hid).reshape(b, h * w, c)
+        v = NIN(c, name="NIN_2")(hid).reshape(b, h * w, c)
+
+        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (int(c) ** (-0.5))
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        out = NIN(c, init_scale=self.init_scale, name="NIN_3")(out)
+        if not self.skip_rescale:
+            return x + out
+        return (x + out) / np.sqrt(2.0)
+
+
+class Upsample(nn.Module):
+    """FIR or nearest 2x upsampling, optionally fused with a conv
+    (layerspp.py:96-133)."""
+
+    in_ch: Optional[int] = None
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        out_ch = self.out_ch if self.out_ch is not None else c
+        if not self.fir:
+            hh = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            if self.with_conv:
+                hh = conv3x3(out_ch, name="Conv_0")(hh)
+            return hh
+        if not self.with_conv:
+            return upsample_2d(x, self.fir_kernel, factor=2)
+        kernel = self.param("Conv2d_0_weight", default_init(), (3, 3, c, out_ch))
+        bias = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
+        y = upsample_conv_2d(x, kernel, k=self.fir_kernel)
+        return y + bias.reshape(1, 1, 1, -1)
+
+
+class Downsample(nn.Module):
+    """FIR or average-pool 2x downsampling (layerspp.py:136-175)."""
+
+    in_ch: Optional[int] = None
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        out_ch = self.out_ch if self.out_ch is not None else c
+        if not self.fir:
+            if self.with_conv:
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                return nn.Conv(
+                    out_ch, (3, 3), strides=(2, 2), padding="VALID",
+                    kernel_init=default_init(), bias_init=nn.initializers.zeros,
+                    name="Conv_0",
+                )(x)
+            return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        if not self.with_conv:
+            return downsample_2d(x, self.fir_kernel, factor=2)
+        kernel = self.param("Conv2d_0_weight", default_init(), (3, 3, c, out_ch))
+        bias = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
+        y = conv_downsample_2d(x, kernel, k=self.fir_kernel)
+        return y + bias.reshape(1, 1, 1, -1)
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """DDPM residual block (layerspp.py:178-234)."""
+
+    act: Callable
+    out_ch: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    temb_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch if self.out_ch is not None else in_ch
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h += nn.Dense(
+                out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
+                name="Dense_0",
+            )(self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN residual block with optional FIR up/down (layerspp.py:237-314)."""
+
+    act: Callable
+    out_ch: Optional[int] = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    temb_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch if self.out_ch is not None else in_ch
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
+
+        if self.up:
+            if self.fir:
+                h = upsample_2d(h, self.fir_kernel, factor=2)
+                x = upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_upsample_2d(h, factor=2)
+                x = naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = downsample_2d(h, self.fir_kernel, factor=2)
+                x = downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_downsample_2d(h, factor=2)
+                x = naive_downsample_2d(x, factor=2)
+
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h += nn.Dense(
+                out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
+                name="Dense_0",
+            )(self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch, name="Conv_2")(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)

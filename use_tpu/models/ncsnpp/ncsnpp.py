@@ -1,0 +1,287 @@
+"""NCSN++ score U-Net in Flax (NHWC), with the reference's exact topology.
+
+Behavior re-implemented from reference src/models/components/sgmse/backbones/
+ncsnpp.py:38-559: progressive input_skip/output_skip pyramids, BigGAN
+residual blocks with FIR resampling, a single bottleneck attention block,
+Gaussian-Fourier log-t embedding, optional 1/sigma output scaling, and the
+`discriminative` mode (no conditioning, 2 input channels) used by the LSGAN
+generator.
+
+Complex spectrograms are carried as trailing real-pair channels: the module
+consumes ``[B, F, T, C_total]`` real channels (per complex input: re, im —
+matching the reference's channel-split order, ncsnpp.py:332-347) and returns
+``[B, F, T, spatial_channels, 2]``.
+
+Submodules are named ``m{i}`` in the order the reference's forward pass walks
+its flat ``all_modules`` list (ncsnpp.py:329-491), so a converted torch
+checkpoint maps ``all_modules.{i}.X -> params['m{i}']['X']`` mechanically.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from use_tpu.models.ncsnpp import layers
+from use_tpu.models.registry import BackboneRegistry
+from use_tpu.ops.upfirdn2d import downsample_2d, upsample_2d
+
+
+@dataclass(frozen=True)
+class NCSNppConfig:
+    """Static architecture config (defaults = reference ncsnpp.py:42-68)."""
+
+    scale_by_sigma: bool = True
+    nonlinearity: str = "swish"
+    nf: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    num_res_blocks: int = 1
+    attn_resolutions: Tuple[int, ...] = (0,)
+    resamp_with_conv: bool = True
+    conditional: bool = True
+    fir: bool = True
+    fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+    skip_rescale: bool = True
+    resblock_type: str = "biggan"
+    progressive: str = "output_skip"
+    progressive_input: str = "input_skip"
+    progressive_combine: str = "sum"
+    init_scale: float = 0.0
+    fourier_scale: float = 16.0
+    image_size: int = 256
+    embedding_type: str = "fourier"
+    input_channels: int = 4
+    spatial_channels: int = 1
+    dropout: float = 0.0
+    centered: bool = False
+    discriminative: bool = False
+
+    def resolve(self) -> "NCSNppConfig":
+        """Apply the discriminative-mode overrides (ncsnpp.py:86-92)."""
+        if self.discriminative:
+            return dataclasses_replace(
+                self, conditional=False, scale_by_sigma=False, input_channels=2
+            )
+        return self
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+class NCSNpp(nn.Module):
+    """NCSN++ U-Net. Input [B, F, T, C_total]; output [B, F, T, D, 2]."""
+
+    cfg: NCSNppConfig = NCSNppConfig()
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, time_cond: Optional[jnp.ndarray] = None, *, train: bool = False
+    ) -> jnp.ndarray:
+        cfg = self.cfg.resolve()
+        act = layers.get_act(cfg.nonlinearity)
+        nf = cfg.nf
+        num_resolutions = len(cfg.ch_mult)
+        all_resolutions = [cfg.image_size // (2 ** i) for i in range(num_resolutions)]
+        total_channels = cfg.input_channels * cfg.spatial_channels
+        assert cfg.embedding_type == "fourier", "only fourier embedding supported"
+        assert cfg.resblock_type in ("ddpm", "biggan")
+        assert cfg.progressive in ("none", "output_skip", "residual")
+        assert cfg.progressive_input in ("none", "input_skip", "residual")
+        combine_method = cfg.progressive_combine.lower()
+
+        assert x.shape[-1] == total_channels, (x.shape, total_channels)
+
+        # --- module walk bookkeeping (matches reference forward, ncsnpp.py:329+)
+        midx = iter(range(10_000))
+
+        def mname() -> str:
+            return f"m{next(midx)}"
+
+        if cfg.resblock_type == "biggan":
+            ResnetBlock = functools.partial(
+                layers.ResnetBlockBigGANpp,
+                act=act, dropout=cfg.dropout, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
+                init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale,
+                temb_dim=nf * 4,
+            )
+        else:
+            ResnetBlock = functools.partial(
+                layers.ResnetBlockDDPMpp,
+                act=act, dropout=cfg.dropout, init_scale=cfg.init_scale,
+                skip_rescale=cfg.skip_rescale, temb_dim=nf * 4,
+            )
+        AttnBlock = functools.partial(
+            layers.AttnBlockpp, init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale
+        )
+
+        # --- time embedding (GFP of log t; ncsnpp.py:349-368)
+        temb = None
+        gfp = layers.GaussianFourierProjection(
+            embedding_size=nf, scale=cfg.fourier_scale, name=mname()
+        )
+        if time_cond is not None:
+            used_sigmas = time_cond
+            temb = gfp(jnp.log(used_sigmas))
+        if cfg.conditional:
+            temb = nn.Dense(
+                nf * 4, kernel_init=layers.default_init(),
+                bias_init=nn.initializers.zeros, name=mname(),
+            )(temb)
+            temb = nn.Dense(
+                nf * 4, kernel_init=layers.default_init(),
+                bias_init=nn.initializers.zeros, name=mname(),
+            )(act(temb))
+        else:
+            temb = None
+
+        if not cfg.centered:
+            x = 2 * x - 1.0  # ncsnpp.py:372-374 (applied to spec channels)
+
+        # --- downsampling path
+        input_pyramid = None
+        if cfg.progressive_input != "none":
+            input_pyramid = x
+
+        hs = [layers.conv3x3(nf, name=mname())(x)]
+        for i_level in range(num_resolutions):
+            for _ in range(cfg.num_res_blocks):
+                out_ch = nf * cfg.ch_mult[i_level]
+                h = ResnetBlock(out_ch=out_ch, name=mname())(hs[-1], temb, train=train)
+                if all_resolutions[i_level] in cfg.attn_resolutions:
+                    h = AttnBlock(name=mname())(h)
+                hs.append(h)
+
+            if i_level != num_resolutions - 1:
+                if cfg.resblock_type == "ddpm":
+                    h = layers.Downsample(
+                        with_conv=cfg.resamp_with_conv, fir=cfg.fir,
+                        fir_kernel=cfg.fir_kernel, name=mname(),
+                    )(hs[-1])
+                else:
+                    h = ResnetBlock(down=True, name=mname())(hs[-1], temb, train=train)
+
+                if cfg.progressive_input == "input_skip":
+                    input_pyramid = downsample_2d(input_pyramid, cfg.fir_kernel, factor=2)
+                    h = layers.Combine(dim2=h.shape[-1], method=combine_method, name=mname())(
+                        input_pyramid, h
+                    )
+                elif cfg.progressive_input == "residual":
+                    input_pyramid = layers.Downsample(
+                        with_conv=True, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
+                        out_ch=h.shape[-1], name=mname(),
+                    )(input_pyramid)
+                    if cfg.skip_rescale:
+                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                    else:
+                        input_pyramid = input_pyramid + h
+                    h = input_pyramid
+                hs.append(h)
+
+        # --- bottleneck: Resnet -> Attn -> Resnet (ncsnpp.py:244-246, 419-425)
+        h = hs[-1]
+        h = ResnetBlock(name=mname())(h, temb, train=train)
+        h = AttnBlock(name=mname())(h)
+        h = ResnetBlock(name=mname())(h, temb, train=train)
+
+        pyramid = None
+
+        # --- upsampling path
+        for i_level in reversed(range(num_resolutions)):
+            for _ in range(cfg.num_res_blocks + 1):
+                out_ch = nf * cfg.ch_mult[i_level]
+                h = ResnetBlock(out_ch=out_ch, name=mname())(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train=train
+                )
+
+            if all_resolutions[i_level] in cfg.attn_resolutions:
+                h = AttnBlock(name=mname())(h)
+
+            if cfg.progressive != "none":
+                if i_level == num_resolutions - 1:
+                    if cfg.progressive == "output_skip":
+                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h))
+                        pyramid = layers.conv3x3(
+                            total_channels, init_scale=cfg.init_scale, name=mname()
+                        )(pyramid)
+                    else:  # residual
+                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h))
+                        pyramid = layers.conv3x3(h.shape[-1], name=mname())(pyramid)
+                else:
+                    if cfg.progressive == "output_skip":
+                        pyramid = upsample_2d(pyramid, cfg.fir_kernel, factor=2)
+                        pyramid_h = act(layers.group_norm(h.shape[-1], name=mname())(h))
+                        pyramid_h = layers.conv3x3(
+                            total_channels, init_scale=cfg.init_scale, name=mname()
+                        )(pyramid_h)
+                        pyramid = pyramid + pyramid_h
+                    else:  # residual
+                        pyramid = layers.Upsample(
+                            with_conv=True, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
+                            out_ch=h.shape[-1], name=mname(),
+                        )(pyramid)
+                        if cfg.skip_rescale:
+                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                        else:
+                            pyramid = pyramid + h
+                        h = pyramid
+
+            if i_level != 0:
+                if cfg.resblock_type == "ddpm":
+                    h = layers.Upsample(
+                        with_conv=cfg.resamp_with_conv, fir=cfg.fir,
+                        fir_kernel=cfg.fir_kernel, name=mname(),
+                    )(h)
+                else:
+                    h = ResnetBlock(up=True, name=mname())(h, temb, train=train)
+
+        assert not hs
+
+        if cfg.progressive == "output_skip":
+            h = pyramid
+        else:
+            h = act(layers.group_norm(h.shape[-1], name=mname())(h))
+            h = layers.conv3x3(total_channels, init_scale=cfg.init_scale, name=mname())(h)
+
+        if cfg.scale_by_sigma:
+            assert time_cond is not None
+            h = h / used_sigmas.reshape((-1,) + (1,) * (h.ndim - 1))
+
+        # output projection to complex pairs (ncsnpp.py:114, 497-500):
+        # channels [2*D] split re-major: out[..., :D]=re, out[..., D:]=im
+        h = layers.conv1x1(
+            2 * cfg.spatial_channels, name="output_layer",
+        )(h)
+        d = cfg.spatial_channels
+        h = jnp.stack([h[..., :d], h[..., d:]], axis=-1)  # [B, F, T, D, 2]
+        return h
+
+
+def _variant(name: str, **overrides):
+    @BackboneRegistry.register(name)
+    def make(**kwargs) -> NCSNpp:
+        merged = {**overrides, **kwargs}
+        return NCSNpp(cfg=NCSNppConfig(**merged))
+
+    make.__name__ = f"make_{name}"
+    return make
+
+
+# Registered variants (reference ncsnpp.py:38, 504-559)
+make_ncsnpp = _variant("ncsnpp")
+make_ncsnpp_large = _variant(
+    "ncsnpplarge", nf=128, ch_mult=(1, 1, 2, 2, 2, 2, 2), num_res_blocks=2,
+    attn_resolutions=(0,),
+)
+make_ncsnpp_12m = _variant(
+    "ncsnpp12M", nf=96, ch_mult=(1, 2, 2, 1), num_res_blocks=1, attn_resolutions=(0,),
+)
+make_ncsnpp_6m = _variant(
+    "ncsnpp6M", nf=96, ch_mult=(1, 1, 1, 1), num_res_blocks=1, attn_resolutions=(0,),
+)
