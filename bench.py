@@ -1,0 +1,79 @@
+"""Headline benchmark: audio-seconds/s per chip, 30-step reverse-SDE sampling.
+
+Runs the shipping SGMSE_Large configuration (ncsnpplarge ~60M score network,
+n_fft=1022, hop=160) through the fused lax.scan PC sampler
+(predictor=reverse_diffusion, corrector=none -> NFE=30) on one chip and
+reports real-time throughput. The reference publishes no numbers
+(BASELINE.md); vs_baseline is measured against this repo's north-star target
+of 50x real time per v5e chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_STEPS = 30
+BATCH = 1
+AUDIO_SECONDS = 10.0
+SR = 24000
+REPS = 3
+TARGET_RTF = 50.0  # north star: >50x real time per chip
+
+
+def main() -> None:
+    from use_tpu.models.sgmse.score_model import sgmse_large
+    from use_tpu.ops import pad_spec
+
+    model = sgmse_large()
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    length = int(AUDIO_SECONDS * SR)
+    wav = 0.1 * np.random.default_rng(0).standard_normal((BATCH, length))
+    wav = wav.astype(np.float32)
+
+    y_spec = pad_spec(model._spec(jnp.asarray(wav)))
+    cond = [y_spec]
+
+    @jax.jit
+    def run(params, y_spec, rng):
+        sample, _ = model.sample_spec(
+            params, y_spec, rng, cond, sampler_type="pc", N=N_STEPS
+        )
+        return sample
+
+    rng = jax.random.PRNGKey(1)
+    out = run(params, y_spec, rng)
+    out.block_until_ready()  # compile + warmup
+
+    times = []
+    for i in range(REPS):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out = run(params, y_spec, sub)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    audio_s = BATCH * AUDIO_SECONDS
+    throughput = audio_s / wall  # == RTF per chip for one stream
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_s_per_chip_30step_sgmse_large",
+                "value": round(throughput, 3),
+                "unit": "audio-s/s",
+                "vs_baseline": round(throughput / TARGET_RTF, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

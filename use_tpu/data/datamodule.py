@@ -1,0 +1,82 @@
+"""Data modules: train/val/test distortion loaders + inference wav loader.
+
+Reference parity: src/data/distort_datamodule.py:10-793 — builds the three
+DistortDatasets and divides the *global* batch size by the world size
+(distort_datamodule.py:656-672). In JAX the world size is
+jax.process_count(): each host feeds its local shard, and
+parallel.mesh.local_batch_to_global stitches the global array.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from use_tpu.data.collate import (
+    pad_to_longest_monaural,
+    pad_to_longest_monaural_inference,
+)
+from use_tpu.data.distort_dataset import DistortConfig, DistortDataset
+from use_tpu.data.loadwav import LoadWavConfig, LoadWavDataset
+from use_tpu.data.loader import DataLoader
+
+
+@dataclass
+class DistortDataModule:
+    train_cfg: DistortConfig = None
+    valid_cfg: Optional[DistortConfig] = None
+    test_cfg: Optional[DistortConfig] = None
+    batch_size: int = 4  # global
+    num_workers: int = 4
+    seed: int = 0
+    world_size: int = 1
+
+    def __post_init__(self):
+        if self.valid_cfg is None and self.train_cfg is not None:
+            self.valid_cfg = self.train_cfg
+        if self.test_cfg is None and self.train_cfg is not None:
+            self.test_cfg = self.train_cfg
+        if self.world_size > 1:
+            assert self.batch_size % self.world_size == 0, (
+                self.batch_size, self.world_size,
+            )
+        self.local_batch = self.batch_size // max(self.world_size, 1)
+        self._train = self._valid = self._test = None
+
+    def train_dataloader(self) -> DataLoader:
+        if self._train is None:
+            self._train = DistortDataset(self.train_cfg)
+        return DataLoader(
+            self._train, self.local_batch, shuffle=True, num_workers=self.num_workers,
+            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self.seed,
+        )
+
+    def val_dataloader(self) -> DataLoader:
+        if self._valid is None:
+            self._valid = DistortDataset(self.valid_cfg)
+        return DataLoader(
+            self._valid, self.local_batch, shuffle=False, num_workers=self.num_workers,
+            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self.seed + 1,
+        )
+
+    def test_dataloader(self) -> DataLoader:
+        if self._test is None:
+            self._test = DistortDataset(self.test_cfg)
+        return DataLoader(
+            self._test, self.local_batch, shuffle=False, num_workers=self.num_workers,
+            collate_fn=pad_to_longest_monaural, drop_last=False, seed=self.seed + 2,
+        )
+
+
+@dataclass
+class LoadWavDataModule:
+    cfg: LoadWavConfig = None
+    batch_size: int = 1
+    num_workers: int = 0
+
+    def predict_dataloader(self) -> DataLoader:
+        return DataLoader(
+            LoadWavDataset(self.cfg), self.batch_size, shuffle=False,
+            num_workers=self.num_workers,
+            collate_fn=pad_to_longest_monaural_inference,
+        )

@@ -1,0 +1,75 @@
+"""Orbax checkpointing: params + optimizer state + EMA + step, top-k by a
+monitored metric, save_last, async-friendly for preemptible TPU.
+
+Replaces Lightning ModelCheckpoint (reference configs/callbacks/
+model_checkpoint.yaml: top-10 by monitored val metric + save_last,
+epoch_{epoch:03d} files) and the ckpt_path resume flow (src/train.py:90).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 10,
+        monitor: str = "val/loss",
+        mode: str = "min",
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m.get(monitor, np.inf)) if monitor else None,
+            best_mode=mode,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[Dict[str, float]] = None):
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics or None
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if template is not None:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot params save (predict/export flows)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template: Any = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), target=template)
+    return ckptr.restore(os.path.abspath(path))

@@ -68,7 +68,7 @@ class ScoreModel:
     def init_params(self, rng: jax.Array) -> Any:
         x = jnp.zeros((1, self.stft_cfg.freqs, 64, self.score_net.cfg.input_channels))
         t = jnp.full((1,), 0.5)
-        return self.score_net.init(rng, x, t)["params"]
+        return jax.jit(self.score_net.init)(rng, x, t)["params"]
 
     # -- pieces -----------------------------------------------------------
     def _spec(self, wav: jnp.ndarray) -> jnp.ndarray:

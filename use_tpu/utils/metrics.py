@@ -1,0 +1,115 @@
+"""Speech quality / separation metrics.
+
+Reference parity: src/models/components/sgmse/util/other.py:23-135 (si_sdr,
+energy_ratios, LSD, mean/std helpers) and util/inference.py:49-51 (PESQ,
+ESTOI hooks — those external scorers are optional; gated imports with a
+clear error). All numpy, host-side.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from use_tpu.data.dsp import np_stft
+
+
+def si_sdr(s: np.ndarray, s_hat: np.ndarray) -> float:
+    """Scale-invariant SDR (other.py:105-108)."""
+    min_len = min(len(s), len(s_hat))
+    s, s_hat = s[:min_len], s_hat[:min_len]
+    alpha = np.dot(s_hat, s) / (np.linalg.norm(s) ** 2 + 1e-12)
+    return float(
+        10 * np.log10(
+            (np.linalg.norm(alpha * s) ** 2 + 1e-12)
+            / (np.linalg.norm(alpha * s - s_hat) ** 2 + 1e-12)
+        )
+    )
+
+
+def si_sdr_components(s_hat, s, n, eps=1e-10):
+    """(other.py:33-45)."""
+    alpha_s = np.dot(s_hat, s) / (eps + np.linalg.norm(s) ** 2)
+    s_target = alpha_s * s
+    alpha_n = np.dot(s_hat, n) / (eps + np.linalg.norm(n) ** 2)
+    e_noise = alpha_n * n
+    e_art = s_hat - s_target - e_noise
+    return s_target, e_noise, e_art
+
+
+def energy_ratios(s_hat, s, n, eps=1e-10) -> Tuple[float, float, float]:
+    """(si_sdr, si_sir, si_sar) (other.py:48-62)."""
+    s_target, e_noise, e_art = si_sdr_components(s_hat, s, n)
+    sdr = 10 * np.log10(
+        eps + np.linalg.norm(s_target) ** 2 / (eps + np.linalg.norm(e_noise + e_art) ** 2)
+    )
+    sir = 10 * np.log10(
+        eps + np.linalg.norm(s_target) ** 2 / (eps + np.linalg.norm(e_noise) ** 2)
+    )
+    sar = 10 * np.log10(
+        eps + np.linalg.norm(s_target) ** 2 / (eps + np.linalg.norm(e_art) ** 2)
+    )
+    return float(sdr), float(sir), float(sar)
+
+
+def lsd(s_hat: np.ndarray, s: np.ndarray, eps: float = 1e-10) -> float:
+    """Log-spectral distance (other.py:23-30; n_fft=510 hop=128)."""
+    spec_hat = np_stft(s_hat, 510, 128)
+    spec = np_stft(s, 510, 128)
+    lp_hat = 2 * np.log(eps + np.abs(spec_hat))
+    lp = 2 * np.log(eps + np.abs(spec))
+    return float(np.mean(np.sqrt(np.mean(np.abs(lp_hat - lp)))))
+
+
+def snr_db(s: np.ndarray, n: np.ndarray) -> float:
+    """(other.py:118-122)."""
+    return float(10 * np.log10(np.mean(s ** 2) / (np.mean(n ** 2) + 1e-12)))
+
+
+def mean_std(data: np.ndarray) -> Tuple[float, float]:
+    data = np.asarray(data)
+    data = data[~np.isnan(data)]
+    return float(np.mean(data)), float(np.std(data))
+
+
+def pesq_wb(ref: np.ndarray, deg: np.ndarray, sr: int = 16000) -> float:
+    """Wide-band PESQ via the optional `pesq` package (inference.py:49)."""
+    try:
+        from pesq import pesq as _pesq
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("PESQ requires the 'pesq' package (not installed)") from e
+    return float(_pesq(sr, ref, deg, "wb"))
+
+
+def estoi(ref: np.ndarray, deg: np.ndarray, sr: int = 10000) -> float:
+    """Extended STOI via the optional `pystoi` package (inference.py:51)."""
+    try:
+        from pystoi import stoi as _stoi
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("ESTOI requires the 'pystoi' package (not installed)") from e
+    return float(_stoi(ref, deg, sr, extended=True))
+
+
+def evaluate_pair(clean: np.ndarray, enhanced: np.ndarray, noisy: np.ndarray) -> Dict[str, float]:
+    """Metric dict for one utterance (util/inference.py:23-101 analog),
+    skipping scorers whose optional backends are missing."""
+    out = {
+        "si_sdr": si_sdr(clean, enhanced),
+        "lsd": lsd(enhanced, clean),
+    }
+    n = noisy[: len(clean)] - clean[: len(noisy)]
+    sdr, sir, sar = energy_ratios(enhanced[: len(clean)], clean[: len(enhanced)], n)
+    out.update({"si_sir": sir, "si_sar": sar})
+    for name, fn in (("pesq_wb", pesq_wb), ("estoi", estoi)):
+        try:
+            from use_tpu.data.dsp import resample_poly
+
+            sr_target = 16000 if name == "pesq_wb" else 10000
+            out[name] = fn(
+                resample_poly(clean, 24000, sr_target),
+                resample_poly(enhanced, 24000, sr_target),
+                sr_target,
+            )
+        except ImportError:
+            pass
+    return out
