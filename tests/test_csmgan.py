@@ -1,0 +1,61 @@
+"""CSMGAN: shapes, causality, parameter count vs the reference self-test."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from use_tpu.models.gan.csmgan import CSMGAN, CSMGANWrapper, CumLN1d, CausalConv2d
+
+
+def test_cumln_causal():
+    """Cumulative layer norm at step t must not depend on steps > t."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 10, 4)), jnp.float32)
+    m = CumLN1d()
+    p = m.init(jax.random.PRNGKey(0), x)
+    full = m.apply(p, x)
+    half = m.apply(p, x[:, :5])
+    np.testing.assert_allclose(np.asarray(full)[:, :5], np.asarray(half), atol=1e-6)
+
+
+def test_causal_conv_is_causal():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 12, 8, 2)), jnp.float32)
+    m = CausalConv2d(4, (3, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    full = np.asarray(m.apply(p, x))
+    # perturb the future
+    x2 = x.at[:, 8:].set(0.0)
+    part = np.asarray(m.apply(p, x2))
+    np.testing.assert_allclose(full[:, :8], part[:, :8], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_csmgan_shapes_and_params():
+    """Default config: ~ the reference's param count (self-test :764-788)."""
+    net = CSMGAN()
+    x = jnp.zeros((1, 20, 480, 2))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    out = net.apply({"params": params}, x)
+    assert out.shape == (1, 20, 480, 2)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 3e6 < n < 12e6, n  # TCN(600/600 x 12) dominates
+
+
+def test_csmgan_tiny_end_to_end():
+    # n_fft=96 -> F=49, and the net consumes F-1=48=input_freq bins
+    wrapper = CSMGANWrapper(
+        n_fft=96, win_length=96, hop_length=48, input_freq=48,
+        encoder_channels=(4, 4, 8), encoder_depths=(1, 1),
+        decoder_depths=(1, 1), tcn_input_dim=96, tcn_bn_dim=32,
+        tcn_hidden_dim=32, tcn_layers=2, tcn_stacks=1,
+        in_proj_channels=4,
+    )
+    params = wrapper.init_params(jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2400)).astype(np.float32)
+    )
+    out = wrapper(params, {"perturbed": wav})
+    assert out["fake"].shape == wav.shape
+    assert np.isfinite(np.asarray(out["fake"])).all()

@@ -12,6 +12,8 @@ from use_tpu.models.registry import (
 from use_tpu.models.ncsnpp import ncsnpp as _ncsnpp  # noqa: F401
 from use_tpu.models.sgmse import sdes as _sdes  # noqa: F401
 from use_tpu.models.sgmse import sampling as _sampling  # noqa: F401
+from use_tpu.models import gagnet as _gagnet  # noqa: F401
+from use_tpu.models import convtasnet as _convtasnet  # noqa: F401
 
 __all__ = [
     "BackboneRegistry",

@@ -119,13 +119,17 @@ class NIN(nn.Module):
 
     num_units: int
     init_scale: float = 0.1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_dim = x.shape[-1]
         w = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
         b = self.param("b", nn.initializers.zeros, (self.num_units,))
-        return jnp.einsum("...c,cd->...d", x, w) + b
+        return (
+            jnp.einsum("...c,cd->...d", x.astype(self.dtype), w.astype(self.dtype))
+            + b.astype(self.dtype)
+        )
 
 
 class Combine(nn.Module):
@@ -133,10 +137,11 @@ class Combine(nn.Module):
 
     dim2: int
     method: str = "cat"
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        h = conv1x1(self.dim2, name="Conv_0")(x)
+        h = conv1x1(self.dim2, name="Conv_0", dtype=self.dtype)(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         if self.method == "sum":
@@ -153,19 +158,23 @@ class AttnBlockpp(nn.Module):
 
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        hid = group_norm(c, name="GroupNorm_0")(x)
-        q = NIN(c, name="NIN_0")(hid).reshape(b, h * w, c)
-        k = NIN(c, name="NIN_1")(hid).reshape(b, h * w, c)
-        v = NIN(c, name="NIN_2")(hid).reshape(b, h * w, c)
+        hid = group_norm(c, name="GroupNorm_0")(x).astype(self.dtype)
+        q = NIN(c, name="NIN_0", dtype=self.dtype)(hid).reshape(b, h * w, c)
+        k = NIN(c, name="NIN_1", dtype=self.dtype)(hid).reshape(b, h * w, c)
+        v = NIN(c, name="NIN_2", dtype=self.dtype)(hid).reshape(b, h * w, c)
 
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (int(c) ** (-0.5))
-        attn = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.einsum(
+            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+        ) * (int(c) ** (-0.5))
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
-        out = NIN(c, init_scale=self.init_scale, name="NIN_3")(out)
+        out = NIN(c, init_scale=self.init_scale, name="NIN_3", dtype=self.dtype)(out)
+        out = out.astype(x.dtype)
         if not self.skip_rescale:
             return x + out
         return (x + out) / np.sqrt(2.0)
@@ -238,26 +247,28 @@ class ResnetBlockDDPMpp(nn.Module):
     skip_rescale: bool = False
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None, *, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x)).astype(self.dtype)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
-                name="Dense_0",
+                name="Dense_0", dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h)).astype(self.dtype)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(out_ch, name="Conv_2")(x)
+                x = conv3x3(out_ch, name="Conv_2", dtype=self.dtype)(x)
             else:
-                x = NIN(out_ch, name="NIN_0")(x)
+                x = NIN(out_ch, name="NIN_0", dtype=self.dtype)(x)
+        x = x.astype(h.dtype)
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)
@@ -276,12 +287,13 @@ class ResnetBlockBigGANpp(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None, *, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x)).astype(self.dtype)
 
         if self.up:
             if self.fir:
@@ -298,19 +310,20 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
-                name="Dense_0",
+                name="Dense_0", dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h)).astype(self.dtype)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2")(x)
+            x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
 
+        x = x.astype(h.dtype)
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)

@@ -59,6 +59,8 @@ class NCSNppConfig:
     dropout: float = 0.0
     centered: bool = False
     discriminative: bool = False
+    dtype: str = "float32"  # compute dtype for convs/matmuls ('bfloat16' for
+    # inference/serving speed; params and normalizations stay float32)
 
     def resolve(self) -> "NCSNppConfig":
         """Apply the discriminative-mode overrides (ncsnpp.py:86-92)."""
@@ -95,6 +97,7 @@ class NCSNpp(nn.Module):
         assert cfg.progressive in ("none", "output_skip", "residual")
         assert cfg.progressive_input in ("none", "input_skip", "residual")
         combine_method = cfg.progressive_combine.lower()
+        cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
         assert x.shape[-1] == total_channels, (x.shape, total_channels)
 
@@ -109,16 +112,17 @@ class NCSNpp(nn.Module):
                 layers.ResnetBlockBigGANpp,
                 act=act, dropout=cfg.dropout, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
                 init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale,
-                temb_dim=nf * 4,
+                temb_dim=nf * 4, dtype=cdtype,
             )
         else:
             ResnetBlock = functools.partial(
                 layers.ResnetBlockDDPMpp,
                 act=act, dropout=cfg.dropout, init_scale=cfg.init_scale,
-                skip_rescale=cfg.skip_rescale, temb_dim=nf * 4,
+                skip_rescale=cfg.skip_rescale, temb_dim=nf * 4, dtype=cdtype,
             )
         AttnBlock = functools.partial(
-            layers.AttnBlockpp, init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale
+            layers.AttnBlockpp, init_scale=cfg.init_scale,
+            skip_rescale=cfg.skip_rescale, dtype=cdtype,
         )
 
         # --- time embedding (GFP of log t; ncsnpp.py:349-368)
@@ -143,13 +147,14 @@ class NCSNpp(nn.Module):
 
         if not cfg.centered:
             x = 2 * x - 1.0  # ncsnpp.py:372-374 (applied to spec channels)
+        x = x.astype(cdtype)
 
         # --- downsampling path
         input_pyramid = None
         if cfg.progressive_input != "none":
             input_pyramid = x
 
-        hs = [layers.conv3x3(nf, name=mname())(x)]
+        hs = [layers.conv3x3(nf, name=mname(), dtype=cdtype)(x)]
         for i_level in range(num_resolutions):
             for _ in range(cfg.num_res_blocks):
                 out_ch = nf * cfg.ch_mult[i_level]
@@ -169,9 +174,10 @@ class NCSNpp(nn.Module):
 
                 if cfg.progressive_input == "input_skip":
                     input_pyramid = downsample_2d(input_pyramid, cfg.fir_kernel, factor=2)
-                    h = layers.Combine(dim2=h.shape[-1], method=combine_method, name=mname())(
-                        input_pyramid, h
-                    )
+                    h = layers.Combine(
+                        dim2=h.shape[-1], method=combine_method, name=mname(),
+                        dtype=cdtype,
+                    )(input_pyramid, h)
                 elif cfg.progressive_input == "residual":
                     input_pyramid = layers.Downsample(
                         with_conv=True, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
@@ -206,19 +212,21 @@ class NCSNpp(nn.Module):
             if cfg.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if cfg.progressive == "output_skip":
-                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h))
+                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
                         pyramid = layers.conv3x3(
-                            total_channels, init_scale=cfg.init_scale, name=mname()
+                            total_channels, init_scale=cfg.init_scale, name=mname(),
+                            dtype=cdtype,
                         )(pyramid)
                     else:  # residual
-                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h))
-                        pyramid = layers.conv3x3(h.shape[-1], name=mname())(pyramid)
+                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
+                        pyramid = layers.conv3x3(h.shape[-1], name=mname(), dtype=cdtype)(pyramid)
                 else:
                     if cfg.progressive == "output_skip":
                         pyramid = upsample_2d(pyramid, cfg.fir_kernel, factor=2)
-                        pyramid_h = act(layers.group_norm(h.shape[-1], name=mname())(h))
+                        pyramid_h = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
                         pyramid_h = layers.conv3x3(
-                            total_channels, init_scale=cfg.init_scale, name=mname()
+                            total_channels, init_scale=cfg.init_scale, name=mname(),
+                            dtype=cdtype,
                         )(pyramid_h)
                         pyramid = pyramid + pyramid_h
                     else:  # residual
@@ -249,6 +257,7 @@ class NCSNpp(nn.Module):
             h = act(layers.group_norm(h.shape[-1], name=mname())(h))
             h = layers.conv3x3(total_channels, init_scale=cfg.init_scale, name=mname())(h)
 
+        h = h.astype(jnp.float32)
         if cfg.scale_by_sigma:
             assert time_cond is not None
             h = h / used_sigmas.reshape((-1,) + (1,) * (h.ndim - 1))

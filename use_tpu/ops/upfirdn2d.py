@@ -19,6 +19,7 @@ backward needed, unlike the CUDA op).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -119,17 +120,27 @@ def _separable_fir(
     )
 
 
+# Separable FIR runs two rank-1 passes (less compute, 2x the HBM round
+# trips); the dense 2-D depthwise conv reads/writes the activations once.
+# On TPU the resampling ops are memory-bound, so dense is the default;
+# flip for debugging with USE_TPU_FIR_SEPARABLE=1.
+_SEPARABLE = os.environ.get("USE_TPU_FIR_SEPARABLE", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("k", "factor", "gain"))
 def upsample_2d(
     x: jnp.ndarray, k: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0), factor: int = 2, gain: float = 1.0
 ) -> jnp.ndarray:
     """FIR 2x upsampling of [B, H, W, C] (up_or_down_sampling.py:202-232)."""
-    k1 = np.asarray(k, np.float32)
-    k1 = k1 / k1.sum()
-    scale = np.sqrt(gain) * factor  # distributed over the two separable passes
-    k1 = k1 * scale
     p = len(k) - factor
-    return _separable_fir(x, k1, factor, 1, ((p + 1) // 2 + factor - 1, p // 2))
+    pad = ((p + 1) // 2 + factor - 1, p // 2)
+    if _SEPARABLE:
+        k1 = np.asarray(k, np.float32)
+        k1 = k1 / k1.sum()
+        k1 = k1 * (np.sqrt(gain) * factor)  # split over the two passes
+        return _separable_fir(x, k1, factor, 1, pad)
+    kern = setup_kernel(k) * (gain * factor ** 2)
+    return upfirdn2d(x, kern, up=factor, pad=pad)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "factor", "gain"))
@@ -137,11 +148,15 @@ def downsample_2d(
     x: jnp.ndarray, k: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0), factor: int = 2, gain: float = 1.0
 ) -> jnp.ndarray:
     """FIR 2x downsampling of [B, H, W, C] (up_or_down_sampling.py:235-264)."""
-    k1 = np.asarray(k, np.float32)
-    k1 = k1 / k1.sum()
-    k1 = k1 * np.sqrt(gain)
     p = len(k) - factor
-    return _separable_fir(x, k1, 1, factor, ((p + 1) // 2, p // 2))
+    pad = ((p + 1) // 2, p // 2)
+    if _SEPARABLE:
+        k1 = np.asarray(k, np.float32)
+        k1 = k1 / k1.sum()
+        k1 = k1 * np.sqrt(gain)
+        return _separable_fir(x, k1, 1, factor, pad)
+    kern = setup_kernel(k) * gain
+    return upfirdn2d(x, kern, down=factor, pad=pad)
 
 
 def naive_upsample_2d(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
