@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -24,13 +25,15 @@ AUDIO_SECONDS = 10.0
 SR = 24000
 REPS = 3
 TARGET_RTF = 50.0  # north star: >50x real time per chip
+# serving dtype: bf16 compute with fp32 params/normalization stats
+DTYPE = os.environ.get("USE_BENCH_DTYPE", "bfloat16")
 
 
 def main() -> None:
     from use_tpu.models.sgmse.score_model import sgmse_large
     from use_tpu.ops import pad_spec
 
-    model = sgmse_large()
+    model = sgmse_large(backbone_kwargs=dict(dtype=DTYPE))
     params = model.init_params(jax.random.PRNGKey(0))
 
     length = int(AUDIO_SECONDS * SR)

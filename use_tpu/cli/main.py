@@ -155,7 +155,14 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str]):
 
 def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -> None:
     """Folder -> folder enhancement, mirroring input structure
-    (SGMSE_module.predict_step:65-82 / GANModule.predict_step:139-155)."""
+    (SGMSE_module.predict_step:65-82 / GANModule.predict_step:139-155).
+
+    Hybrid chains (README.md:174-179):
+      predict.chain=sgmse+gan  — SGMSE enhances, LSGAN refines the result
+      predict.chain=gan+sgmse  — LSGAN output becomes the diffusion prior /
+        conditioning (requires an SGMSE config with condition=both|denoised)
+    with predict.second_experiment= / predict.second_ckpt= for stage two.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -171,24 +178,51 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
 
     model = _build_model(cfg)
     params = _load_state_params(model, cfg, extras.get("ckpt_path"))
+
+    chain = extras.get("predict.chain")
+    second = second_params = second_cfg = None
+    if chain:
+        second_cfg = load_config(extras["predict.second_experiment"])
+        second = _build_model(second_cfg)
+        second_params = _load_state_params(
+            second, second_cfg, extras.get("predict.second_ckpt")
+        )
+
     dm = LoadWavDataModule(
         LoadWavConfig(data_folder=data_folder, target_folder=target_folder,
                       sampling_rate=cfg["data"].get("sampling_rate", 24000))
     )
     rng = jax.random.PRNGKey(cfg["train"].get("seed", 0))
     icfg = cfg.get("infer", {})
+
+    def run_sgmse(m, p, batch, rng, out_key):
+        out = m.sample(
+            p, batch, rng,
+            sampler_type=icfg.get("sampler_type", "pc"), N=icfg.get("N", 50),
+            corrector_steps=icfg.get("corrector_steps", 1),
+            snr=icfg.get("snr", 0.5),
+        )
+        return out, out[out_key]
+
     n_done = 0
     for batch in dm.predict_dataloader():
         wav = jnp.asarray(batch["perturbed"])
-        if cfg["task"] == "sgmse":
-            rng, sub = jax.random.split(rng)
-            out = model.sample(
-                params, {"perturbed": wav}, sub,
-                sampler_type=icfg.get("sampler_type", "pc"), N=icfg.get("N", 50),
-                corrector_steps=icfg.get("corrector_steps", 1),
-                snr=icfg.get("snr", 0.5),
+        rng, sub = jax.random.split(rng)
+        if chain == "sgmse+gan":
+            _, enhanced = run_sgmse(model, params, {"perturbed": wav}, sub, "enhanced")
+            out2 = second.enhance(second_params, {"perturbed": enhanced})
+            enhanced = np.asarray(out2["fake"])
+        elif chain == "gan+sgmse":
+            out1 = model.enhance(params, {"perturbed": wav})
+            _, enhanced = run_sgmse(
+                second, second_params,
+                {"perturbed": wav, "fake": out1["fake"]}, sub,
+                "fake_sde_enhanced" if second.sde_input == "denoised" else "enhanced",
             )
-            enhanced = np.asarray(out["enhanced"])
+            enhanced = np.asarray(enhanced)
+        elif cfg["task"] == "sgmse":
+            _, enhanced = run_sgmse(model, params, {"perturbed": wav}, sub, "enhanced")
+            enhanced = np.asarray(enhanced)
         else:
             out = model.enhance(params, {"perturbed": wav})
             enhanced = np.asarray(out["fake"])

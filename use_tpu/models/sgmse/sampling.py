@@ -201,3 +201,50 @@ def get_ode_sampler(
         return x, nfe
 
     return sampler
+
+
+def get_ode_sampler_adaptive(
+    sde,
+    score_fn: ScoreFn,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    method: str = "RK45",
+    eps: float = 3e-2,
+    **_ignored,
+):
+    """Adaptive black-box ODE sampler via scipy on the host, with the drift
+    jit-compiled on device — exact parity with the reference's scipy path
+    (sampling/__init__.py:76-159). Not jittable end-to-end; use the RK4
+    scan sampler for production."""
+    from scipy import integrate
+
+    rsde_sde, _ = reverse_sde(sde, score_fn, probability_flow=True)
+    drift_jit = jax.jit(
+        lambda x, t: rsde_sde(x, jnp.full((y.shape[0],), t, y.dtype), y)[0]
+    )
+
+    def sampler(rng: jax.Array) -> Tuple[jnp.ndarray, int]:
+        x = sde.prior_sampling(rng, y)
+        shape = x.shape
+
+        def ode_func(t, flat):
+            xt = jnp.asarray(flat.reshape(shape), jnp.float32)
+            return np.asarray(drift_jit(xt, float(t)), np.float64).reshape(-1)
+
+        solution = integrate.solve_ivp(
+            ode_func, (sde.T, eps), np.asarray(x, np.float64).reshape(-1),
+            rtol=rtol, atol=atol, method=method,
+        )
+        xs = jnp.asarray(solution.y[:, -1].reshape(shape), jnp.float32)
+        nfe = int(solution.nfev)
+        if denoise:
+            _, rsde_discretize = reverse_sde(sde, score_fn)
+            vec_eps = jnp.full((y.shape[0],), eps, y.dtype)
+            f, _ = rsde_discretize(xs, vec_eps, y)
+            xs = xs - f
+            nfe += 1
+        return xs, nfe
+
+    return sampler
