@@ -72,3 +72,34 @@ def test_multi_spec_discriminator():
     logits, fmaps = d.apply({"params": params}, x)
     assert len(logits) == 2 and len(fmaps) == 2
     assert all(len(f) == 6 for f in fmaps)
+
+
+def test_hifigan_vocoder_generator():
+    from use_tpu.models.gan.hifigan_vocoder import HifiganGenerator
+
+    g = HifiganGenerator(
+        channels=32, upsample_scales=(4, 4), upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),), in_channels=16,
+    )
+    x = jnp.zeros((1, 20, 16))
+    p = g.init(jax.random.PRNGKey(0), x)["params"]
+    y = g.apply({"params": p}, x)
+    assert y.shape == (1, 320)  # T * prod(scales)
+    assert np.abs(np.asarray(y)).max() <= 1.0  # tanh
+
+
+def test_hifigan_vocoder_nsf():
+    from use_tpu.models.gan.hifigan_vocoder import HifiganGenerator
+
+    g = HifiganGenerator(
+        channels=32, upsample_scales=(4, 4), upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),), in_channels=18,
+        nsf_params=dict(nb_harmonics=4, sampling_rate=24000),
+    )
+    x = jnp.concatenate(
+        [jnp.zeros((1, 20, 16)), jnp.full((1, 20, 1), 200.0), jnp.ones((1, 20, 1))], -1
+    )
+    p = g.init({"params": jax.random.PRNGKey(0), "source": jax.random.PRNGKey(1)}, x)["params"]
+    y = g.apply({"params": p}, x, rngs={"source": jax.random.PRNGKey(2)})
+    assert y.shape == (1, 320)
+    assert np.isfinite(np.asarray(y)).all()

@@ -24,7 +24,31 @@ from use_tpu.engine.train import (
     make_sgmse_eval_step,
     make_sgmse_train_step,
 )
-from use_tpu.utils.logging import MetricLogger
+from use_tpu.utils.logging import MetricLogger, ranked_logger
+
+_log = ranked_logger()
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised when a monitored loss goes NaN/inf (the EarlyStopping
+    check_finite analog, configs/callbacks/early_stopping.yaml)."""
+
+
+def _check_finite(name: str, value: float) -> None:
+    if not np.isfinite(value):
+        raise NonFiniteLossError(f"{name} became non-finite: {value}")
+
+
+def log_hyperparameters(logger: MetricLogger, cfg, params) -> None:
+    """Log config + parameter counts (src/utils/logging_utils.py:11-57)."""
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    _log.info(f"model params: {n / 1e6:.2f}M")
+    if logger and logger.csv_path:
+        import json, os
+
+        path = os.path.join(os.path.dirname(logger.csv_path), "hparams.json")
+        with open(path, "w") as f:
+            json.dump({"config": cfg, "num_params": n}, f, indent=2, default=str)
 
 
 def _stack_microbatches(batch: Dict, accum: int) -> Dict:
@@ -102,7 +126,9 @@ def fit_sgmse(
             rng, sub = jax.random.split(rng)
             micro = _stack_microbatches(_device_batch(batch), accum)
             state, metrics = step_fn(state, micro, sub)
-            train_losses.append(float(metrics["loss_Score"]))
+            loss = float(metrics["loss_Score"])
+            _check_finite("train/loss_Score", loss)
+            train_losses.append(loss)
         val_losses = []
         for i, batch in enumerate(datamodule.val_dataloader()):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
@@ -176,8 +202,11 @@ def fit_lsgan(
             rng, sub = jax.random.split(rng)
             micro = _stack_microbatches(_device_batch(batch), accum)
             state, metrics = step_fn(state, micro, sub)
-            g_losses.append(float(metrics["loss_G"]))
-            d_losses.append(float(metrics["loss_D"]))
+            g_loss, d_loss = float(metrics["loss_G"]), float(metrics["loss_D"])
+            _check_finite("train/loss_G", g_loss)
+            _check_finite("train/loss_D", d_loss)
+            g_losses.append(g_loss)
+            d_losses.append(d_loss)
         row = {
             "epoch": epoch,
             "train/loss_G": float(np.mean(g_losses)) if g_losses else np.nan,
