@@ -52,18 +52,18 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(1)
     out = run(params, y_spec, rng)
-    out.block_until_ready()  # compile + warmup
+    float(jnp.sum(jnp.abs(out)))  # compile + warmup
 
     times = []
     for i in range(REPS):
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         out = run(params, y_spec, sub)
-        out.block_until_ready()
+        # force a device->host readback: on the axon runtime
+        # block_until_ready() alone can return before execution finishes
+        float(jnp.sum(jnp.abs(out)))
         times.append(time.perf_counter() - t0)
 
-    # median: the first post-warmup rep can report an anomalously small
-    # (async-overlapped) wall time on the axon TPU runtime
     wall = sorted(times)[len(times) // 2]
     audio_s = BATCH * AUDIO_SECONDS
     throughput = audio_s / wall  # == RTF per chip for one stream
