@@ -40,7 +40,9 @@ def test_csmgan_shapes_and_params():
     out = net.apply({"params": params}, x)
     assert out.shape == (1, 20, 480, 2)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    assert 3e6 < n < 12e6, n  # TCN(600/600 x 12) dominates
+    # reference CSMGAN_Wrapper default config has exactly 14,865,275 params
+    # (generator5_24k.py:764-788 self-test); match it.
+    assert n == 14_865_275, n
 
 
 def test_csmgan_tiny_end_to_end():

@@ -41,6 +41,8 @@ def test_np_stft_roundtrip():
         (P.SpeakerDistortionPerturbPedal, {}),
         (P.SpeakerDistortionPerturbClipPedal, {}),
         (P.EQPerturb, {"sample_rate": SR}),
+        (P.EQPerturbFreq, {}),
+        (P.EQPerturbTime, {}),
         (P.EQMuchGainPerturb, {"sample_rate": SR, "freq_min": 1500, "freq_max": 11000}),
         (P.BassBoostPerturb, {}),
         (P.DRCPerturb, {}),

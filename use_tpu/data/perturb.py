@@ -174,6 +174,106 @@ class EQMuchGainPerturb:
         return np_istft(spec, 512, length=len(data)).astype(data.dtype)
 
 
+class EQPerturbFreq:
+    """Legacy per-band rectangular STFT EQ (perturb.py:145-199).
+
+    Each band draws a random central frequency, Q and gain; the band
+    [f-bw/2, f+bw/2] of a 2048-point STFT is scaled by the gain
+    (reference EQ_process_band, perturb.py:125-142, numba-jit there,
+    plain vectorised numpy here).
+    """
+
+    def __init__(self, sample_rate, q_min=0.5, q_max=3, q=None, db_min=-10,
+                 db_max=0, db=None, num_bands_min=1, num_bands_max=5,
+                 num_bands=None, bandwidth_max=6000):
+        self._sample_rate = sample_rate
+        self._q_min, self._q_max = q_min, q_max
+        self._db_min, self._db_max = db_min, db_max
+        self._min_freq = 100
+        self._max_freq = sample_rate / 2 - 100
+        self._num_bands_min = num_bands_min
+        self._num_bands_max = num_bands_max
+        self._bandwidth_max = bandwidth_max
+
+    def __call__(self, data):
+        return self.process(data)[0]
+
+    def process(self, data):
+        spec = np_stft(data, 2048, 512)
+        out_qs, out_dbs = [], []
+        num_bands = np.random.randint(self._num_bands_min, self._num_bands_max + 1)
+        bin_hz = self._sample_rate / 2048
+        for _ in range(num_bands):
+            q = np.random.uniform(self._q_min, self._q_max)
+            db = np.random.uniform(self._db_min, self._db_max)
+            freq = np.random.uniform(self._min_freq, self._max_freq)
+            bandwidth = min(freq / q, self._bandwidth_max)
+            low = int(np.round((freq - bandwidth / 2) / bin_hz))
+            high = int(np.round((freq + bandwidth / 2) / bin_hz))
+            low = max(0, min(low, spec.shape[0] - 1))
+            high = max(0, min(high, spec.shape[0]))
+            spec[low:high] *= 10 ** (db / 20)
+            out_qs.append(q)
+            out_dbs.append(db)
+        out = np_istft(spec, 512, length=len(data)).astype(data.dtype)
+        return out, out_qs, out_dbs
+
+
+def _peaking_biquad(sample_rate, center_freq, gain_db, q):
+    """RBJ peaking-EQ biquad coefficients (= torchaudio equalizer_biquad)."""
+    w0 = 2 * np.pi * center_freq / sample_rate
+    A = 10 ** (gain_db / 40)
+    alpha = np.sin(w0) / (2 * q)
+    b = np.array([1 + alpha * A, -2 * np.cos(w0), 1 - alpha * A])
+    a = np.array([1 + alpha / A, -2 * np.cos(w0), 1 - alpha / A])
+    return b / a[0], a / a[0]
+
+
+class EQPerturbTime:
+    """Legacy time-domain EQ: cascade of peaking biquads at log-spaced
+    central frequencies (perturb.py:271-414, torchaudio equalizer_biquad
+    -> RBJ peaking biquad via scipy.lfilter)."""
+
+    def __init__(self, sample_rate, q_min=0.5, q_max=3, q=None, db_min=-10,
+                 db_max=0, db=None, num_bands_min=1, num_bands_max=5,
+                 num_bands=None, bandwith_max=6000):
+        self._sample_rate = sample_rate
+        self._q_min, self._q_max = q_min, q_max
+        self._q, self._db = q, db
+        self._db_min, self._db_max = db_min, db_max
+        self._min_freq = 100
+        self._max_freq = sample_rate / 2 - 100
+        self._num_bands_min = num_bands_min
+        self._num_bands_max = num_bands_max
+        self._bandwith_max = bandwith_max
+
+    @staticmethod
+    def compute_central_frequencies(freq_range, num_freqs):
+        log_range = np.log10(np.asarray(freq_range, np.float64))
+        log_intervals = np.linspace(log_range[0], log_range[1], num_freqs + 1)
+        return 10 ** ((log_intervals[:-1] + log_intervals[1:]) / 2)
+
+    def __call__(self, data):
+        return self.process(data)[0]
+
+    def process(self, data):
+        out_qs, out_dbs = [], []
+        num_bands = np.random.randint(self._num_bands_min, self._num_bands_max + 1)
+        freqs = self.compute_central_frequencies(
+            (self._min_freq, self._max_freq), num_bands)
+        x = data.astype(np.float64)
+        for i in range(num_bands):
+            q = self._q[i] if self._q is not None else np.random.uniform(self._q_min, self._q_max)
+            db = self._db[i] if self._db is not None else np.random.uniform(self._db_min, self._db_max)
+            if freqs[i] / q > self._bandwith_max:
+                q = freqs[i] / self._bandwith_max
+            b, a = _peaking_biquad(self._sample_rate, freqs[i], db, q)
+            x = sps.lfilter(b, a, x)
+            out_qs.append(q)
+            out_dbs.append(db)
+        return x.astype(data.dtype), out_qs, out_dbs
+
+
 class BassBoostPerturb:
     """Attenuate the high band -> relative bass boost (perturb.py:545-575)."""
 

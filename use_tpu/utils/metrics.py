@@ -61,6 +61,21 @@ def lsd(s_hat: np.ndarray, s: np.ndarray, eps: float = 1e-10) -> float:
     return float(np.mean(np.sqrt(np.mean(np.abs(lp_hat - lp)))))
 
 
+def wer(r, h) -> float:
+    """Word error rate by dynamic-programming edit distance (other.py's
+    wer(); int32 table rather than the reference's overflow-prone uint8)."""
+    d = np.zeros((len(r) + 1, len(h) + 1), dtype=np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            if r[i - 1] == h[j - 1]:
+                d[i, j] = d[i - 1, j - 1]
+            else:
+                d[i, j] = 1 + min(d[i - 1, j - 1], d[i, j - 1], d[i - 1, j])
+    return float(d[len(r), len(h)]) / max(len(r), 1)
+
+
 def snr_db(s: np.ndarray, n: np.ndarray) -> float:
     """(other.py:118-122)."""
     return float(10 * np.log10(np.mean(s ** 2) / (np.mean(n ** 2) + 1e-12)))
