@@ -5,7 +5,11 @@ n_fft=1022, hop=160) through the fused lax.scan PC sampler
 (predictor=reverse_diffusion, corrector=none -> NFE=30) on one chip and
 reports real-time throughput. The reference publishes no numbers
 (BASELINE.md); vs_baseline is measured against this repo's north-star target
-of 50x real time per v5e chip (BASELINE.json).
+of 50x real time per v5e chip (BASELINE.json). NOTE: 50x exceeds the v5e
+roofline for this model/NFE — 30-step sampling costs 19.4 TFLOP per
+audio-second, capping a 197-TFLOP/s chip at ~10 audio-s/s; see the
+speed-of-light analysis in BASELINE.md. Serving batch is 8: a real batch
+stops XLA space-to-batching the batch-1 convolutions (~1.7x per clip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 N_STEPS = 30
-BATCH = 1
+BATCH = int(os.environ.get("USE_BENCH_BATCH", "8"))
 AUDIO_SECONDS = 10.0
 SR = 24000
 REPS = 3
@@ -35,6 +39,8 @@ def main() -> None:
 
     model = sgmse_large(backbone_kwargs=dict(dtype=DTYPE))
     params = model.init_params(jax.random.PRNGKey(0))
+    # one-time cast to the serving dtype (keeps GN affines + GFP fp32)
+    params = model.cast_params_for_inference(params)
 
     length = int(AUDIO_SECONDS * SR)
     wav = 0.1 * np.random.default_rng(0).standard_normal((BATCH, length))

@@ -74,11 +74,13 @@ def _build_datamodule(cfg: Dict):
     d = dict(cfg["data"])
     batch_size = d.pop("batch_size", 4)
     num_workers = d.pop("num_workers", 4)
+    overfit_items = d.pop("overfit_items", None)
     known = set(DistortConfig.__dataclass_fields__)
     dcfg = DistortConfig(**{k: v for k, v in d.items() if k in known})
     return DistortDataModule(
         train_cfg=dcfg, batch_size=batch_size, num_workers=num_workers,
         seed=cfg["train"].get("seed", 0), world_size=jax.process_count(),
+        overfit_items=overfit_items,
     )
 
 

@@ -12,6 +12,8 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
+import numpy as np
+
 from use_tpu.data.collate import (
     pad_to_longest_monaural,
     pad_to_longest_monaural_inference,
@@ -30,6 +32,9 @@ class DistortDataModule:
     num_workers: int = 4
     seed: int = 0
     world_size: int = 1
+    # debug: restrict training to the first N synthesized items and recycle
+    # them every epoch (configs/debug/overfit.yaml analog)
+    overfit_items: Optional[int] = None
 
     def __post_init__(self):
         if self.valid_cfg is None and self.train_cfg is not None:
@@ -45,9 +50,13 @@ class DistortDataModule:
 
     def train_dataloader(self) -> DataLoader:
         if self._train is None:
-            self._train = DistortDataset(self.train_cfg)
+            ds = DistortDataset(self.train_cfg)
+            if self.overfit_items:
+                ds = _FixedSubset(ds, self.overfit_items)
+            self._train = ds
         return DataLoader(
-            self._train, self.local_batch, shuffle=True, num_workers=self.num_workers,
+            self._train, self.local_batch,
+            shuffle=not self.overfit_items, num_workers=self.num_workers,
             collate_fn=pad_to_longest_monaural, drop_last=True, seed=self.seed,
         )
 
@@ -66,6 +75,26 @@ class DistortDataModule:
             self._test, self.local_batch, shuffle=False, num_workers=self.num_workers,
             collate_fn=pad_to_longest_monaural, drop_last=False, seed=self.seed + 2,
         )
+
+
+class _FixedSubset:
+    """First-N view of a synthesis dataset with per-item caching, so every
+    epoch replays the identical batches (overfit debugging)."""
+
+    def __init__(self, ds, n: int):
+        self._ds = ds
+        self._n = n
+        self._cache: Dict[int, Dict] = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx: int) -> Dict:
+        idx = idx % self._n
+        if idx not in self._cache:
+            np.random.seed(1000 + idx)  # deterministic synthesis per item
+            self._cache[idx] = self._ds[idx]
+        return self._cache[idx]
 
 
 @dataclass

@@ -26,33 +26,41 @@ ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 # ---------------------------------------------------------------------------
-# Predictors (one reverse step; return (x, x_mean))
+# Predictors (one reverse step; return (x_mean, gain) with
+# x_next = x_mean + gain * z). Keeping the noise symbolic halves the live
+# state of the scan (the sampler materializes x_next lazily at the start of
+# the following step), which is what lets batch-8 10 s sampling fit in one
+# v5e's HBM. `predict_x(...)` reproduces the reference's (x, x_mean) pair.
 # ---------------------------------------------------------------------------
 
 @PredictorRegistry.register("euler_maruyama")
-def euler_maruyama_predictor(sde, score_fn: ScoreFn, x, t, y, rng):
+def euler_maruyama_predictor(sde, score_fn: ScoreFn, x, t, y):
     rsde_sde, _ = reverse_sde(sde, score_fn)
     dt = -1.0 / sde.N
-    z = crandn(rng, x.shape, x.dtype)
     f, g = rsde_sde(x, t, y)
     x_mean = x + f * dt
-    x = x_mean + batch_broadcast(g, x) * np.sqrt(-dt) * z
-    return x, x_mean
+    gain = batch_broadcast(g, x) * np.sqrt(-dt)
+    return x_mean, gain
 
 
 @PredictorRegistry.register("reverse_diffusion")
-def reverse_diffusion_predictor(sde, score_fn: ScoreFn, x, t, y, rng):
+def reverse_diffusion_predictor(sde, score_fn: ScoreFn, x, t, y):
     _, rsde_discretize = reverse_sde(sde, score_fn)
     f, g = rsde_discretize(x, t, y)
-    z = crandn(rng, x.shape, x.dtype)
-    x_mean = x - f
-    x = x_mean + g * z
-    return x, x_mean
+    return x - f, g
 
 
 @PredictorRegistry.register("none")
-def none_predictor(sde, score_fn: ScoreFn, x, t, y, rng):
-    return x, x
+def none_predictor(sde, score_fn: ScoreFn, x, t, y):
+    return x, jnp.zeros((), x.dtype)
+
+
+def predict_x(predictor, sde, score_fn: ScoreFn, x, t, y, rng):
+    """Reference-style predictor step returning (x, x_mean)
+    (predictors.py:40-68)."""
+    x_mean, gain = predictor(sde, score_fn, x, t, y)
+    z = crandn(rng, x.shape, x.dtype)
+    return x_mean + gain * z, x_mean
 
 
 # ---------------------------------------------------------------------------
@@ -133,19 +141,29 @@ def get_pc_sampler(
     timesteps = jnp.linspace(sde.T, eps, sde.N)
 
     def sampler(rng: jax.Array) -> Tuple[jnp.ndarray, int]:
-        rng, prior_rng = jax.random.split(rng)
-        xt = sde.prior_sampling(prior_rng, y)
+        # prior: y + std(T) * eps, expressed as the (x_mean, gain) carry so
+        # the noise is drawn lazily inside the first step. Carrying the mean
+        # and the (tiny) gain instead of both x and x_mean keeps exactly one
+        # sample-sized buffer live across the scan.
+        std_T = sde._std(jnp.full((y.shape[0],), sde.T, y.dtype))
+        gain0 = batch_broadcast(std_T, y)
 
         def step(carry, t):
-            xt, rng = carry
-            rng, rc, rp = jax.random.split(rng, 3)
+            x_mean, gain, rng = carry
+            rng, rz, rc = jax.random.split(rng, 3)
+            z = crandn(rz, x_mean.shape, x_mean.dtype)
+            xt = x_mean + gain * z
             vec_t = jnp.full((y.shape[0],), t, y.dtype)
             xt, _ = corrector(sde, score_fn, xt, vec_t, y, rc, snr, n_corr)
-            xt, xt_mean = predictor(sde, score_fn, xt, vec_t, y, rp)
-            return (xt, rng), xt_mean
+            x_mean, gain = predictor(sde, score_fn, xt, vec_t, y)
+            return (x_mean, gain, rng), None
 
-        (xt, _), means = jax.lax.scan(step, (xt, rng), timesteps)
-        x_result = means[-1] if denoise else xt
+        (x_mean, gain, rng), _ = jax.lax.scan(step, (y, gain0, rng), timesteps)
+        if denoise:
+            x_result = x_mean
+        else:
+            rng, rz = jax.random.split(rng)
+            x_result = x_mean + gain * crandn(rz, x_mean.shape, x_mean.dtype)
         nfe = sde.N * (n_corr + 1)
         return x_result, nfe
 

@@ -70,6 +70,28 @@ class ScoreModel:
         t = jnp.full((1,), 0.5)
         return jax.jit(self.score_net.init)(rng, x, t)["params"]
 
+    def cast_params_for_inference(self, params) -> Any:
+        """Pre-cast parameters to the backbone compute dtype.
+
+        With fp32 params and a bf16 compute dtype, Flax re-converts every
+        kernel on every sampler step (visible as convert-multiply fusions
+        in the profile). Casting once outside the scan removes that
+        traffic. GroupNorm affines and the Gaussian-Fourier projection
+        stay fp32 (norm statistics and sin/cos phases are fp32 paths).
+        """
+        if self.score_net.cfg.dtype != "bfloat16":
+            return params
+
+        def cast(path, x):
+            keys = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "GroupNorm" in keys or x.ndim <= 1:
+                return x
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(jnp.bfloat16)
+            return x
+
+        return jax.tree_util.tree_map_with_path(cast, params)
+
     # -- pieces -----------------------------------------------------------
     def _spec(self, wav: jnp.ndarray) -> jnp.ndarray:
         """wav [B, L] -> compressed spec [B, F, T, 2]."""
@@ -215,6 +237,7 @@ class ScoreModel:
         y = batch["perturbed"]
         y_denoised_wav = batch.get("fake")
         t_orig = y.shape[-1]
+        params = self.cast_params_for_inference(params)
 
         y_spec = pad_spec(self._spec(y))
         y_denoised = (

@@ -125,6 +125,60 @@ def _separable_fir(
 # On TPU the resampling ops are memory-bound, so dense is the default;
 # flip for debugging with USE_TPU_FIR_SEPARABLE=1.
 _SEPARABLE = os.environ.get("USE_TPU_FIR_SEPARABLE", "0") == "1"
+# Alternative strided-slice formulation of the factor-2 4-tap path.
+# Measured on v5e inside ncsnpplarge it LOSES to the depthwise conv path
+# (XLA fuses the conv into its space-to-batch pipeline and fuses GroupNorm
+# statistics into the convolutions; the sliced path breaks those fusions:
+# 104 ms vs 91 ms per forward) — kept behind a flag for experimentation.
+_SLICED = os.environ.get("USE_TPU_FIR_SLICED", "0") == "1"
+
+
+def _down2_4tap_axis(x: jnp.ndarray, k4, axis: int) -> jnp.ndarray:
+    """Stride-2 4-tap FIR along `axis`: y[i] = sum_j k[j] x(2i + j - 1).
+
+    Implemented as 4 strided slices of the once-padded input + weighted
+    sum — XLA fuses this into a single output-sized vector loop.
+    """
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 2)
+    xp = jnp.pad(x, pad)
+    n_out = x.shape[axis] // 2
+
+    def sl(off):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(off, off + 2 * n_out, 2)
+        return xp[tuple(idx)]
+
+    acc = sl(0) * k4[0]
+    for j in range(1, 4):
+        acc = acc + sl(j) * k4[j]
+    return acc
+
+
+def _up2_4tap_axis(x: jnp.ndarray, k4, axis: int) -> jnp.ndarray:
+    """2x zero-insert 4-tap FIR along `axis` (gain folded into k4).
+
+    Even/odd output phases are two 2-tap weighted sums of neighbouring
+    samples, interleaved by stack+reshape:
+      y[2i]   = k[1] x[i]   + k[3] x[i-1]
+      y[2i+1] = k[0] x[i+1] + k[2] x[i]
+    """
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+
+    def sl(off):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(off, off + n)
+        return xp[tuple(idx)]
+
+    even = sl(1) * k4[1] + sl(0) * k4[3]
+    odd = sl(2) * k4[0] + sl(1) * k4[2]
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return y.reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "factor", "gain"))
@@ -134,6 +188,11 @@ def upsample_2d(
     """FIR 2x upsampling of [B, H, W, C] (up_or_down_sampling.py:202-232)."""
     p = len(k) - factor
     pad = ((p + 1) // 2 + factor - 1, p // 2)
+    if _SLICED and factor == 2 and len(k) == 4:
+        k1 = np.asarray(k, np.float32)
+        k1 = k1 / k1.sum() * (np.sqrt(gain) * factor)
+        k4 = tuple(jnp.asarray(v, x.dtype) for v in k1)
+        return _up2_4tap_axis(_up2_4tap_axis(x, k4, 1), k4, 2)
     if _SEPARABLE:
         k1 = np.asarray(k, np.float32)
         k1 = k1 / k1.sum()
@@ -150,6 +209,11 @@ def downsample_2d(
     """FIR 2x downsampling of [B, H, W, C] (up_or_down_sampling.py:235-264)."""
     p = len(k) - factor
     pad = ((p + 1) // 2, p // 2)
+    if _SLICED and factor == 2 and len(k) == 4:
+        k1 = np.asarray(k, np.float32)
+        k1 = k1 / k1.sum() * np.sqrt(gain)
+        k4 = tuple(jnp.asarray(v, x.dtype) for v in k1)
+        return _down2_4tap_axis(_down2_4tap_axis(x, k4, 1), k4, 2)
     if _SEPARABLE:
         k1 = np.asarray(k, np.float32)
         k1 = k1 / k1.sum()

@@ -2,8 +2,8 @@
 
 Replaces the reference's RankedLogger (src/utils/pylogger.py:7-51) and its
 logger zoo (configs/logger/*.yaml) with a small multiplexer: every log(row)
-goes to stdout on process 0, to a CSV file, and to TensorBoard when the
-optional writer import succeeds.
+goes to stdout on process 0, to a CSV file, to TensorBoard, and to
+Weights & Biases when the optional backends import successfully.
 """
 from __future__ import annotations
 
@@ -34,10 +34,17 @@ def ranked_logger(name: str = "use_tpu") -> logging.Logger:
 
 
 class MetricLogger:
-    def __init__(self, csv_path: Optional[str] = None, tensorboard_dir: Optional[str] = None):
+    def __init__(
+        self,
+        csv_path: Optional[str] = None,
+        tensorboard_dir: Optional[str] = None,
+        wandb_project: Optional[str] = None,
+        wandb_kwargs: Optional[Dict] = None,
+    ):
         self.csv_path = csv_path
         self._csv_keys = None
         self._tb = None
+        self._wandb = None
         self._log = ranked_logger()
         if tensorboard_dir:
             try:
@@ -46,6 +53,15 @@ class MetricLogger:
                 self._tb = SummaryWriter(tensorboard_dir)
             except Exception:
                 self._log.warning("tensorboard writer unavailable; skipping")
+        if wandb_project and (jax.process_count() == 1 or jax.process_index() == 0):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, **(wandb_kwargs or {})
+                )
+            except Exception:
+                self._log.warning("wandb unavailable; skipping")
 
     def log(self, row: Dict) -> None:
         msg = " ".join(
@@ -65,7 +81,11 @@ class MetricLogger:
             for k, v in row.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(row)
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -35,6 +35,21 @@ def print_config_tree(cfg: Dict, indent: int = 0) -> None:
             log.info("  " * indent + f"{key}: {value}")
 
 
+def enforce_tags(cfg: Dict, save_to: Optional[str] = None) -> None:
+    """Require experiment tags (rich_utils.py:78 analog).
+
+    The reference prompts interactively when tags are missing; here we
+    default to ['dev'] (non-interactive engines) and warn. Optionally
+    appends the tags to a file for run bookkeeping.
+    """
+    if not cfg.get("tags"):
+        cfg["tags"] = ["dev"]
+        log.warning("no tags provided in config — defaulting to ['dev']")
+    if save_to:
+        with open(save_to, "a") as f:
+            f.write(" ".join(map(str, cfg["tags"])) + "\n")
+
+
 def task_wrapper(task_func: Callable) -> Callable:
     """Crash-safe task execution (utils.py:43-95): log the exception, flush
     loggers, re-raise; always report the output dir / elapsed time."""
