@@ -212,18 +212,24 @@ class NCSNpp(nn.Module):
             if cfg.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if cfg.progressive == "output_skip":
-                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
+                        pyramid = layers.GroupNormAct(
+                            h.shape[-1], act=act, out_dtype=cdtype, name=mname()
+                        )(h)
                         pyramid = layers.conv3x3(
                             total_channels, init_scale=cfg.init_scale, name=mname(),
                             dtype=cdtype,
                         )(pyramid)
                     else:  # residual
-                        pyramid = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
+                        pyramid = layers.GroupNormAct(
+                            h.shape[-1], act=act, out_dtype=cdtype, name=mname()
+                        )(h)
                         pyramid = layers.conv3x3(h.shape[-1], name=mname(), dtype=cdtype)(pyramid)
                 else:
                     if cfg.progressive == "output_skip":
                         pyramid = upsample_2d(pyramid, cfg.fir_kernel, factor=2)
-                        pyramid_h = act(layers.group_norm(h.shape[-1], name=mname())(h)).astype(cdtype)
+                        pyramid_h = layers.GroupNormAct(
+                            h.shape[-1], act=act, out_dtype=cdtype, name=mname()
+                        )(h)
                         pyramid_h = layers.conv3x3(
                             total_channels, init_scale=cfg.init_scale, name=mname(),
                             dtype=cdtype,
@@ -254,7 +260,9 @@ class NCSNpp(nn.Module):
         if cfg.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(layers.group_norm(h.shape[-1], name=mname())(h))
+            h = layers.GroupNormAct(
+                h.shape[-1], act=act, out_dtype=jnp.float32, name=mname()
+            )(h)
             h = layers.conv3x3(total_channels, init_scale=cfg.init_scale, name=mname())(h)
 
         h = h.astype(jnp.float32)
