@@ -23,7 +23,23 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def summarize_trace(trace_dir: str, top: int = 25) -> None:
+def hlo_op_names(hlo_text: str) -> dict:
+    """instruction name -> op_name metadata, from compiled HLO text.
+
+    Lets the trace summary attribute opaque 'fusion.N' events to model layers
+    (only valid for the HLO of the same process's compile)."""
+    mapping = {}
+    for line in hlo_text.splitlines():
+        m = re.search(r"%([\w.\-]+) = ", line)
+        if not m:
+            continue
+        om = re.search(r'op_name="([^"]+)"', line)
+        if om:
+            mapping[m.group(1)] = om.group(1)
+    return mapping
+
+
+def summarize_trace(trace_dir: str, top: int = 25, op_names: dict | None = None) -> None:
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -65,9 +81,16 @@ def summarize_trace(trace_dir: str, top: int = 25) -> None:
 
     print(f"trace: {path}")
     print(f"total device time: {total_us/1e3:.2f} ms over {sum(counts.values())} events")
-    print(f"{'op':<64} {'ms':>9} {'%':>6} {'n':>6}")
+    print(f"{'op':<40} {'ms':>9} {'%':>6} {'n':>6}  layer")
+    op_names = op_names or {}
     for name, us in totals.most_common(top):
-        print(f"{name[:64]:<64} {us/1e3:9.2f} {100*us/total_us:6.2f} {counts[name]:6d}")
+        layer = op_names.get(name, "")
+        # strip the jit(...)/ prefix for readability
+        layer = re.sub(r"^jit\([^)]*\)/", "", layer)
+        print(
+            f"{name[:40]:<40} {us/1e3:9.2f} {100*us/total_us:6.2f}"
+            f" {counts[name]:6d}  {layer[:70]}"
+        )
 
 
 def main() -> None:
@@ -110,6 +133,7 @@ def main() -> None:
                 params, y_spec, rng, cond, sampler_type="pc", N=args.steps
             )
             return out
+        compiled = run.lower(params, y_spec, jax.random.PRNGKey(1)).compile()
         fn = lambda r: run(params, y_spec, r)
     else:
         x = y_spec
@@ -118,10 +142,13 @@ def main() -> None:
         @jax.jit
         def run(params, x, t):
             return model.forward_score(params, x, t, cond)
+        compiled = run.lower(params, x, t).compile()
         fn = lambda r: run(params, x, t)
 
+    op_names = hlo_op_names(compiled.as_text())
+
     rng = jax.random.PRNGKey(1)
-    out = fn(rng)  # compile + warmup
+    out = fn(rng)  # compile + warmup (cache hit from the explicit lower)
     float(jnp.sum(jnp.abs(out)))
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="use_tpu_trace_")
@@ -132,7 +159,7 @@ def main() -> None:
     float(jnp.sum(jnp.abs(out)))
     jax.profiler.stop_trace()
     print(f"trace written to {trace_dir}")
-    summarize_trace(trace_dir, args.top)
+    summarize_trace(trace_dir, args.top, op_names)
 
 
 if __name__ == "__main__":

@@ -124,10 +124,19 @@ class GroupNormAct(nn.Module):
         spatial = x.shape[1:-1]
         b = x.shape[0]
         xg = x.reshape(b, -1, groups, cg)
-        xf = xg.astype(jnp.float32)
-        # one fused two-output reduction over (spatial, channels-in-group)
-        mean = jnp.mean(xf, axis=(1, 3))  # [B, G]
-        meansq = jnp.mean(jnp.square(xf), axis=(1, 3))
+        # Two reduces reading the compute-dtype tensor directly, both with
+        # fp32 accumulation. The square runs in the compute dtype so the two
+        # reduce inputs share the raw activation as their only common
+        # producer — XLA sibling-fuses them into one pass over HBM. Any
+        # formulation that converts x to f32 first (even via two separate
+        # astype calls — CSE re-merges them) makes XLA *materialize* a
+        # full-size f32 copy of the activation between layers: 2x HBM
+        # traffic, 3.2 GB per copy on the full-resolution tensors at
+        # batch 8 / 10 s. bf16 squaring costs ~2^-9 relative error on E[x^2],
+        # irrelevant next to the bf16 activations themselves; in fp32 mode
+        # (training / parity tests) this path is exact.
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [B, G]
+        meansq = jnp.mean(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
         var = meansq - jnp.square(mean)
         inv = jax.lax.rsqrt(var + self.epsilon)  # [B, G]
 
