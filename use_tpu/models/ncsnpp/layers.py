@@ -35,6 +35,14 @@ from use_tpu.ops.upfirdn2d import (
 
 Dtype = Any
 
+# Experimental: one-pass Pallas GroupNorm statistics (use_tpu/ops/gn_stats.py).
+# Measured neutral vs XLA's sibling-fused reduces on v5e at the shipping
+# shapes — off by default, kept for larger configs where the two-pass read
+# could dominate.
+import os as _os
+
+_PALLAS_GN = _os.environ.get("USE_TPU_PALLAS_GN", "0") == "1"
+
 
 def get_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Activation zoo (reference layers.py:29-41)."""
@@ -135,8 +143,18 @@ class GroupNormAct(nn.Module):
         # batch 8 / 10 s. bf16 squaring costs ~2^-9 relative error on E[x^2],
         # irrelevant next to the bf16 activations themselves; in fp32 mode
         # (training / parity tests) this path is exact.
-        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [B, G]
-        meansq = jnp.mean(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
+        if _PALLAS_GN:
+            from use_tpu.ops.gn_stats import group_mean_meansq, pallas_ok
+
+            x3 = x.reshape(b, -1, c)
+            if pallas_ok(x3):
+                mean, meansq = group_mean_meansq(x3, groups)
+            else:
+                mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
+                meansq = jnp.mean(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
+        else:
+            mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [B, G]
+            meansq = jnp.mean(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
         var = meansq - jnp.square(mean)
         inv = jax.lax.rsqrt(var + self.epsilon)  # [B, G]
 
