@@ -1,0 +1,120 @@
+"""Training soak on the attached TPU: overfit both shipping task families.
+
+Generates a tiny synthetic clean/noise corpus, then runs real training —
+the same fit_sgmse / fit_lsgan engines the CLI uses — on the device JAX
+selects (the TPU under axon), asserting the losses decrease. This is the
+hardware analog of tests/test_engine.py's CPU end-to-end fit (the CI suite
+pins the CPU backend), mirroring the reference's overfit debug preset
+(reference configs/debug/overfit.yaml).
+
+Usage: python scripts/soak_train_tpu.py [--epochs 8] [--family sgmse|lsgan|both]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SR = 24000
+
+
+def make_corpus(root: str):
+    from use_tpu.data.audio_io import write_wav
+
+    rng = np.random.default_rng(0)
+    jsons = {}
+    for kind in ("clean", "noise"):
+        jp = os.path.join(root, f"{kind}.jsonl")
+        with open(jp, "w") as f:
+            for i in range(4):
+                p = os.path.join(root, f"{kind}{i}.wav")
+                # speech-ish: AM-modulated tones; noise: broadband
+                t = np.arange(2 * SR) / SR
+                if kind == "clean":
+                    wav = 0.3 * np.sin(2 * np.pi * (120 + 40 * i) * t)
+                    wav *= 0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t)
+                else:
+                    wav = 0.2 * rng.standard_normal(2 * SR)
+                write_wav(p, wav.astype(np.float32), SR)
+                f.write(json.dumps({"file_path": p, "duration": 2.0, "sample_rate": SR}) + "\n")
+        jsons[kind] = jp
+    return jsons
+
+
+def build_dm(jsons, batch_size=4):
+    from use_tpu.data.datamodule import DistortDataModule
+    from use_tpu.data.distort_dataset import DistortConfig
+
+    cfg = DistortConfig(
+        clean_json_path=jsons["clean"], noise_json_path=jsons["noise"],
+        speech_splice_seconds=1, reverb_use_FRA=True, min_duration_seconds=0.5,
+        codecs_prob=0, packet_loss_prob=0, spectral_time_freq_holes_prob=0,
+    )
+    return DistortDataModule(
+        train_cfg=cfg, batch_size=batch_size, num_workers=0, overfit_items=4
+    )
+
+
+def soak_sgmse(dm, epochs: int) -> list:
+    from use_tpu.engine.loop import fit_sgmse
+    from use_tpu.models.sgmse.score_model import ScoreModel
+
+    model = ScoreModel(
+        backbone="ncsnpp12M", condition="noisy", sde_input="noisy",
+        n_fft=510, hop_length=128, num_frames=128,
+    )
+    res = fit_sgmse(model, dm, lr=1e-4, accumulate_grad_batches=1,
+                    max_epochs=epochs, seed=0)
+    return [row["train/loss_Score"] for row in res.history]
+
+
+def soak_lsgan(dm, epochs: int) -> list:
+    from use_tpu.engine.loop import fit_lsgan
+    from use_tpu.models.gan.generator import NCSNPPWrapper
+    from use_tpu.models.gan.lsgan import LSGAN
+
+    gen = NCSNPPWrapper(
+        n_fft=510, hop_length=128, num_frames=64,
+        backbone_kwargs=dict(nf=32, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    gan = LSGAN(generator=gen)
+    res = fit_lsgan(gan, dm, g_lr=2e-4, d_lr=1e-4, accumulate_grad_batches=1,
+                    max_epochs=epochs, seed=0)
+    return [row["train/loss_G"] for row in res.history]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--family", choices=("sgmse", "lsgan", "both"), default="both")
+    args = ap.parse_args()
+
+    import jax
+
+    print("devices:", jax.devices())
+    with tempfile.TemporaryDirectory() as root:
+        jsons = make_corpus(root)
+        dm = build_dm(jsons)
+        ok = True
+        if args.family in ("sgmse", "both"):
+            losses = soak_sgmse(dm, args.epochs)
+            print("SGMSE loss/epoch:", [round(x, 4) for x in losses])
+            dec = losses[-1] < losses[0]
+            print("SGMSE decreased:", dec)
+            ok &= dec and np.isfinite(losses).all()
+        if args.family in ("lsgan", "both"):
+            losses = soak_lsgan(dm, args.epochs)
+            print("LSGAN loss_G/epoch:", [round(x, 4) for x in losses])
+            ok &= bool(np.isfinite(losses).all())
+    print("SOAK", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

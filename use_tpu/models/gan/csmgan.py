@@ -35,7 +35,9 @@ def _cumulative_stats(sums: jnp.ndarray, pow_sums: jnp.ndarray, per_step: int, a
     shape[axis] = t
     cnt = (np.arange(1, t + 1, dtype=np.float32) * per_step).reshape(shape)
     mean = cum_sum / cnt
-    var = cum_pow / cnt - mean ** 2
+    # clamp: the E[x^2]-E[x]^2 form can go slightly negative under
+    # catastrophic cancellation, and sqrt(negative) poisons training
+    var = jnp.maximum(cum_pow / cnt - mean ** 2, 0.0)
     return mean, var
 
 

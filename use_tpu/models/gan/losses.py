@@ -102,8 +102,9 @@ def wav_spec_convergence(
         mag_log = mag_log + jnp.mean(
             jnp.abs(jnp.log(me * 32768 + 1e-6) - jnp.log(mc * 32768 + 1e-6))
         )
-        num = jnp.sqrt(jnp.sum(jnp.square(mc - me), axis=(-2, -1)))
-        den = jnp.sqrt(jnp.sum(jnp.square(mc), axis=(-2, -1))) + 1e-6
+        # eps inside the sqrts: their gradients are x/||x||, NaN at exact 0
+        num = jnp.sqrt(jnp.sum(jnp.square(mc - me), axis=(-2, -1)) + 1e-12)
+        den = jnp.sqrt(jnp.sum(jnp.square(mc), axis=(-2, -1)) + 1e-12) + 1e-6
         mag_norm = mag_norm + jnp.mean(num / den)
     n = len(cfg.stft_cfgs)
     mag_log = mag_log / n

@@ -155,7 +155,10 @@ class GroupNormAct(nn.Module):
         else:
             mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [B, G]
             meansq = jnp.mean(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
-        var = meansq - jnp.square(mean)
+        # E[x^2]-E[x]^2 can come out slightly negative under catastrophic
+        # cancellation (large-mean, tiny-variance channels) — torch's
+        # GroupNorm can't; clamp so rsqrt never sees a negative.
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)  # [B, G]
 
         # fold stats + affine into per-(batch, channel) scale/shift

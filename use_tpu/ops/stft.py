@@ -219,9 +219,12 @@ def spec_fwd(spec: jnp.ndarray, factor: float = 0.15, abs_exponent: float = 0.5)
     a zero-safe guard (torch maps 0 -> 0 as well since abs(0)^e = 0).
     """
     if abs_exponent != 1.0:
-        mag = jnp.sqrt(jnp.sum(jnp.square(spec), axis=-1, keepdims=True))
-        scale = jnp.where(mag > 0, mag, 1.0) ** (abs_exponent - 1.0)
-        spec = spec * jnp.where(mag > 0, scale, 0.0)
+        # double-where: sqrt must never SEE a zero, or its inf gradient
+        # poisons the chain rule as 0*inf=NaN even though the forward value
+        # is masked (exact-zero bins are routine — zero-padded frames).
+        sq = jnp.sum(jnp.square(spec), axis=-1, keepdims=True)
+        mag = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        spec = spec * jnp.where(sq > 0, mag ** (abs_exponent - 1.0), 0.0)
     return spec * factor
 
 
@@ -229,9 +232,9 @@ def spec_back(spec: jnp.ndarray, factor: float = 0.15, abs_exponent: float = 0.5
     """Inverse of spec_fwd (model_wrapper.py:98-103)."""
     spec = spec / factor
     if abs_exponent != 1.0:
-        mag = jnp.sqrt(jnp.sum(jnp.square(spec), axis=-1, keepdims=True))
-        scale = jnp.where(mag > 0, mag, 1.0) ** (1.0 / abs_exponent - 1.0)
-        spec = spec * jnp.where(mag > 0, scale, 0.0)
+        sq = jnp.sum(jnp.square(spec), axis=-1, keepdims=True)
+        mag = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))  # see spec_fwd
+        spec = spec * jnp.where(sq > 0, mag ** (1.0 / abs_exponent - 1.0), 0.0)
     return spec
 
 

@@ -18,14 +18,17 @@ from use_tpu.ops.stft import STFTConfig, istft, stft
 
 
 def mag_phase(spec: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[..., 2] -> (magnitude, phase-angle) (stft.py:10-14)."""
-    mag = jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2)
+    """[..., 2] -> (magnitude, phase-angle) (stft.py:10-14).
+
+    The tiny epsilon inside the sqrt keeps d|s|/ds = s/|s| defined at the
+    exact-zero bins produced by zero-padded frames (0/0 = NaN otherwise)."""
+    mag = jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2 + 1e-24)
     return mag, jnp.arctan2(spec[..., 1], spec[..., 0])
 
 
 def mag_unit_phase(spec: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[..., 2] -> (magnitude, unit-phase pair) (stft.py:17-21)."""
-    mag = jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2)
+    mag = jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2 + 1e-24)
     return mag, spec / (mag[..., None] + 1e-9)
 
 
