@@ -52,6 +52,27 @@ def test_groupnorm_var_cancellation():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_discriminators_finite_on_short_input():
+    """8064-sample clips (num_frames=64 configs) stride to empty maps in the
+    low-rate wave / mel discriminators without the minimum-length pads —
+    mean over an empty map is NaN. Caught by the TPU soak."""
+    from use_tpu.models.gan.discriminators import (
+        MultiMelSpecDiscriminator,
+        MultiWaveDiscriminator,
+    )
+
+    x = jnp.asarray(
+        0.1 * np.random.default_rng(0).standard_normal((1, 8064)), jnp.float32
+    )
+    for mod in (MultiWaveDiscriminator(), MultiMelSpecDiscriminator()):
+        params = mod.init(jax.random.PRNGKey(1), x)
+        logits, _ = mod.apply(params, x)
+        for l in logits:
+            assert bool(jnp.all(jnp.isfinite(l))), type(mod).__name__
+        for l in mod.apply(params, jnp.zeros_like(x))[0]:
+            assert bool(jnp.all(jnp.isfinite(l))), type(mod).__name__
+
+
 def test_spectral_convergence_grad_at_equality():
     from use_tpu.models.gan.losses import (
         WavSpecConvergenceConfig,

@@ -112,6 +112,15 @@ class WaveDiscriminator(nn.Module):
         channels = (16, 64, 256, 1024, 1024, 1024)
         groups = (1, 4, 16, 64, 256, 1, 1)
         chans = channels + (channels[-1],)
+        # Minimum input so every VALID conv yields >=1 frame. Shorter clips
+        # (possible at low rates: 8 kHz needs >=3.7 s of 24 kHz audio) are
+        # zero-padded; XLA otherwise produces SILENT 0-length maps and the
+        # time-mean logit becomes NaN (torch would hard-error instead).
+        min_len = 1
+        for k, s in reversed(list(zip(kernel_sizes, strides))):
+            min_len = (min_len - 1) * s + k
+        if h.shape[1] < min_len:
+            h = jnp.pad(h, ((0, 0), (0, min_len - h.shape[1]), (0, 0)))
         fmap = []
         for i, (k, s, c, g) in enumerate(zip(kernel_sizes, strides, chans, groups)):
             h = nn.Conv(
@@ -167,6 +176,18 @@ class MelspecDiscriminator(nn.Module):
         h = jnp.log(mel + 1e-5)[..., None]  # [B, M, T, 1]
 
         kernel_sizes = ((7, 7), (4, 4), (4, 4), (4, 4))
+        # Minimum time-frame count so the stride-2 stack and the VALID
+        # (15, 5) postnet never produce an empty map (whose mean is NaN).
+        # Walk the required width backwards; pad with log-silence.
+        min_w = 5  # postnet needs >= 5 frames
+        for k in reversed(kernel_sizes):
+            min_w = (min_w - 1) * 2 + k[1] - 4  # pad (2, 2) per side
+        assert self.n_mels >= 22, "postnet needs >= 22 mel bins"
+        if h.shape[2] < min_w:
+            h = jnp.pad(
+                h, ((0, 0), (0, 0), (0, min_w - h.shape[2]), (0, 0)),
+                constant_values=float(np.log(1e-5)),
+            )
         fmap = []
         for i, k in enumerate(kernel_sizes):
             h = nn.Conv(
