@@ -82,7 +82,7 @@ def main() -> None:
         rep = replicated(mesh)
         with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
             state = TrainState.create(
-                jax.device_put(params, rep), tx, ema_decay=None
+                jax.device_put(params, rep), tx, ema_decay=0.0
             )
             step_fn = make_sgmse_train_step(model, tx, accum=1, donate=True)
             b = args.batch_per_device * n
