@@ -24,6 +24,12 @@ from use_tpu.utils.logging import MetricLogger, ranked_logger
 log = ranked_logger()
 
 
+_PREDICT_KEYS = {
+    "predict.data_folder", "predict.target_folder", "predict.chain",
+    "predict.second_experiment", "predict.second_ckpt",
+}
+
+
 def _split_args(argv: List[str]):
     experiment = None
     overrides = []
@@ -33,6 +39,12 @@ def _split_args(argv: List[str]):
             experiment = a.split("=", 1)[1]
         elif a.startswith(("ckpt_path=", "predict.", "out_dir=")):
             k, v = a.split("=", 1)
+            if k.startswith("predict.") and k not in _PREDICT_KEYS:
+                raise SystemExit(
+                    f"unknown key {k!r}; predict options are "
+                    f"{sorted(_PREDICT_KEYS)} (sampler settings go under "
+                    f"infer.*, e.g. infer.N=30)"
+                )
             extras[k] = v
         elif "=" in a:
             overrides.append(a)
