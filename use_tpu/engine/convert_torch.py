@@ -75,6 +75,113 @@ def convert_ncsnpp_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def fold_weight_norm(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Fold torch weight_norm reparametrizations: w = g * v / ||v||.
+
+    torch stores `<name>_g` ([O, 1, ...]) and `<name>_v` (the direction);
+    the norm is over every dim but 0. Our modules train plain kernels
+    (reference GAN/discriminator convs are weight-normed —
+    hifigan.py:219-231; the docstring note in
+    use_tpu/models/gan/discriminators.py)."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        if key.endswith("_g"):
+            continue
+        if key.endswith("_v"):
+            base = key[:-2]
+            v = _to_numpy(value)
+            g = _to_numpy(state_dict[base + "_g"])
+            norm = np.sqrt(
+                np.sum(np.square(v.reshape(v.shape[0], -1)), axis=1)
+            ).reshape((-1,) + (1,) * (v.ndim - 1))
+            out[base] = (g * v / norm).astype(v.dtype)
+        else:
+            out[key] = _to_numpy(value)
+    return out
+
+
+def convert_period_discriminator_state_dict(
+    state_dict: Mapping[str, Any]
+) -> Dict[str, Any]:
+    """Torch PeriodDiscriminator (hifigan.py:202-267) -> use_tpu params.
+
+    Reference names: convs.{i}.0.weight_{g,v}/bias (weight-normed) and
+    conv_post.weight/bias; ours: conv{i} / conv_post with HWIO kernels."""
+    folded = fold_weight_norm(state_dict)
+    params: Dict[str, Any] = {}
+    for key, arr in folded.items():
+        parts = key.split(".")
+        if parts[0] == "convs":
+            name = f"conv{parts[1]}"
+        elif parts[0] == "conv_post":
+            name = "conv_post"
+        else:
+            raise KeyError(key)
+        leaf, arr = convert_tensor(parts[-1], name, arr)
+        _assign(params, [name, leaf], arr)
+    return params
+
+
+def convert_multi_period_discriminator_state_dict(
+    state_dict: Mapping[str, Any], periods=(2, 3, 5, 7, 11)
+) -> Dict[str, Any]:
+    """Torch MultiPeriodDiscriminator (discriminators.{i}.*) -> use_tpu
+    MultiPeriodDiscriminator params (period{p} submodules)."""
+    by_disc: Dict[str, Dict[str, Any]] = {}
+    for key, value in state_dict.items():
+        parts = key.split(".", 2)
+        assert parts[0] == "discriminators", key
+        by_disc.setdefault(parts[1], {})[parts[2]] = value
+    params: Dict[str, Any] = {}
+    for idx, p in enumerate(periods):
+        params[f"period{p}"] = convert_period_discriminator_state_dict(
+            by_disc[str(idx)]
+        )
+    return params
+
+
+def convert_spec_discriminator_state_dict(
+    state_dict: Mapping[str, Any], blocks: int = 3
+) -> Dict[str, Any]:
+    """Torch SpecDiscriminator (hifigan.py:479-573) -> use_tpu params.
+
+    Reference walks convs.{0..blocks+1}.0 (weight-normed) then conv_post;
+    ours names them conv_in / conv{i} / conv_final / conv_post."""
+    folded = fold_weight_norm(state_dict)
+    name_map = {"0": "conv_in", str(blocks + 1): "conv_final"}
+    for i in range(blocks):
+        name_map[str(i + 1)] = f"conv{i}"
+    params: Dict[str, Any] = {}
+    for key, arr in folded.items():
+        parts = key.split(".")
+        if parts[0] == "convs":
+            name = name_map[parts[1]]
+        elif parts[0] == "conv_post":
+            name = "conv_post"
+        elif parts[0] == "window":  # STFT window buffer; rebuilt on our side
+            continue
+        else:
+            raise KeyError(key)
+        leaf, arr = convert_tensor(parts[-1], name, arr)
+        _assign(params, [name, leaf], arr)
+    return params
+
+
+def convert_multi_spec_discriminator_state_dict(
+    state_dict: Mapping[str, Any], n: int = 3
+) -> Dict[str, Any]:
+    """Torch MultiSpecDiscriminator (discriminators.{i}.*) -> use_tpu params."""
+    by_disc: Dict[str, Dict[str, Any]] = {}
+    for key, value in state_dict.items():
+        parts = key.split(".", 2)
+        assert parts[0] == "discriminators", key
+        by_disc.setdefault(parts[1], {})[parts[2]] = value
+    return {
+        f"spec{i}": convert_spec_discriminator_state_dict(by_disc[str(i)])
+        for i in range(n)
+    }
+
+
 def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
     """Load a Lightning .ckpt and extract a sub-module state_dict by prefix.
 

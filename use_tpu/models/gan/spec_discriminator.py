@@ -12,8 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from use_tpu.ops.mel import spectrogram
-from use_tpu.ops.stft import STFTConfig
+from use_tpu.ops.stft import STFTConfig, stft
 
 
 class SpecDiscriminator(nn.Module):
@@ -32,7 +31,12 @@ class SpecDiscriminator(nn.Module):
             n_fft=self.fft_size, hop_length=self.shift_size,
             win_length=self.win_length, center=True,
         )
-        mag = jax.lax.stop_gradient(spectrogram(wav, cfg))  # [B, F, T]
+        spec = jax.lax.stop_gradient(stft(wav, cfg))
+        # magnitude floor exactly as the reference: sqrt(clamp(|s|^2, 1e-7))
+        # (audio_torch.py:29)
+        mag = jnp.sqrt(
+            jnp.maximum(jnp.sum(jnp.square(spec), axis=-1), 1e-7)
+        )  # [B, F, T]
         # reference layout: freq bins as input channels, conv over frames
         x = jnp.transpose(mag, (0, 2, 1))[:, :, None, :]  # [B, T, 1, F]
 
