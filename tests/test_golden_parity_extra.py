@@ -1,4 +1,4 @@
-"""Golden parity: use_tpu MultiPeriodDiscriminator vs the reference torch one.
+"""Golden parity vs reference torch modules: discriminators + alt backbones.
 
 Random torch weights (weight-normed) are folded + converted and both stacks
 run on the same waveform — validates the period folding, conv arithmetic,
@@ -91,3 +91,40 @@ def test_multi_spec_discriminator_parity():
             got.reshape(ref.shape), ref, atol=2e-3, rtol=2e-2,
             err_msg=f"spec disc {i} logits",
         )
+
+
+def test_convtasnet_parity():
+    """Golden parity of the ConvTasNet alt backbone (time-domain
+    encoder/TCN-mask/decoder) against the reference torch implementation
+    with converted weights — covers the encoder/decoder overlap-add
+    arithmetic, gLN, PReLUs and the dilated depthwise TCN."""
+    from src.models.components.sgmse.backbones.convtasnet import (
+        ConvTasNet as TorchCTN,
+    )
+
+    from use_tpu.engine.convert_torch import convert_convtasnet_state_dict
+    from use_tpu.models.convtasnet import ConvTasNet
+
+    torch.manual_seed(0)
+    kw = dict(enc_dim=32, feature_dim=16, layer=3, stack=2, kernel=3,
+              causal=False, fs=16000, win=2)
+    tnet = TorchCTN(**kw)
+    tnet.eval()
+
+    rng = np.random.default_rng(0)
+    wav = (0.3 * rng.standard_normal((2, 4000))).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(wav)).numpy()
+    # the reference returns the padded length; trim like a consumer would
+    stride = tnet.stride
+    ref = ref[:, stride : stride + wav.shape[1]]
+
+    params = convert_convtasnet_state_dict(
+        tnet.state_dict(), layer=kw["layer"], stack=kw["stack"]
+    )
+    jnet = ConvTasNet(enc_dim=32, feature_dim=16, layer=3, stack=2,
+                      kernel=3, causal=False, fs=16000, win_ms=2.0)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jnet.apply({"params": params}, jnp.asarray(wav)))
+
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)

@@ -182,6 +182,87 @@ def convert_multi_spec_discriminator_state_dict(
     }
 
 
+def convert_convtasnet_state_dict(
+    state_dict: Mapping[str, Any], layer: int = 8, stack: int = 3
+) -> Dict[str, Any]:
+    """Torch ConvTasNet (reference backbones/convtasnet.py:15-112 +
+    convtasnet_utils/utils.py TCN/DepthConv1d) -> use_tpu ConvTasNet params.
+
+    Conv1d [O, I, K] -> [K, I, O]; torch ConvTranspose1d [I, O, K] applies
+    the kernel as a transposed conv, which equals flax ConvTranspose with
+    the spatial axis flipped: kernel[k, i, o] = W[i, o, K-1-k]. PReLU scalar
+    weights map to flax negative_slope. Non-causal (gLN) layout only."""
+    depth_leaf = {
+        "conv1d": "Conv_0",
+        "nonlinearity1": "PReLU_0",
+        "reg1": ("_Norm_0", "GroupNorm_0"),
+        "dconv1d": "Conv_1",
+        "nonlinearity2": "PReLU_1",
+        "reg2": ("_Norm_1", "GroupNorm_0"),
+        "res_out": "Conv_2",
+        "skip_out": "Conv_3",
+    }
+    params: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] == "encoder":
+            _assign(params, ["encoder", "kernel"], np.transpose(arr, (2, 1, 0)))
+        elif parts[0] == "decoder":
+            _assign(
+                params, ["decoder", "kernel"],
+                np.transpose(arr[:, :, ::-1], (2, 0, 1)).copy(),
+            )
+        elif parts[:2] == ["TCN", "LN"]:
+            leaf = "scale" if parts[-1] == "weight" else "bias"
+            _assign(params, ["TCN", "_Norm_0", "GroupNorm_0", leaf], arr)
+        elif parts[:2] == ["TCN", "BN"]:
+            leaf, arr = convert_tensor_1d(parts[-1], arr)
+            _assign(params, ["TCN", "Conv_0", leaf], arr)
+        elif parts[:2] == ["TCN", "TCN"]:
+            idx = int(parts[2])
+            s, i = divmod(idx, layer)
+            mapped = depth_leaf[parts[3]]
+            sub = [f"tcn_s{s}_l{i}"]
+            if isinstance(mapped, tuple):
+                sub += list(mapped)
+                leaf = "scale" if parts[-1] == "weight" else "bias"
+                # torch cLN gain/bias are [1, C, 1]
+                _assign(params, ["TCN"] + sub + [leaf], arr.reshape(-1))
+                continue
+            sub.append(mapped)
+            if mapped.startswith("PReLU"):
+                _assign(
+                    params, ["TCN"] + sub + ["negative_slope"],
+                    arr.reshape(()).astype(np.float32),
+                )
+                continue
+            leaf, arr = convert_tensor_1d(parts[-1], arr)
+            _assign(params, ["TCN"] + sub + [leaf], arr)
+        elif parts[:2] == ["TCN", "output"]:
+            if parts[2] == "0":  # PReLU
+                _assign(
+                    params, ["TCN", "PReLU_0", "negative_slope"],
+                    arr.reshape(()).astype(np.float32),
+                )
+            else:  # 1x1 conv
+                leaf, arr = convert_tensor_1d(parts[-1], arr)
+                _assign(params, ["TCN", "Conv_1", leaf], arr)
+        else:
+            raise KeyError(key)
+    return params
+
+
+def convert_tensor_1d(key_leaf: str, arr: np.ndarray):
+    """Conv1d weights [O, I, K] -> [K, I, O]; 1-d affine passthrough."""
+    if key_leaf == "weight" and arr.ndim == 3:
+        return "kernel", np.transpose(arr, (2, 1, 0))
+    if key_leaf == "weight":
+        return "scale", arr
+    assert key_leaf == "bias", key_leaf
+    return "bias", arr
+
+
 def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
     """Load a Lightning .ckpt and extract a sub-module state_dict by prefix.
 
