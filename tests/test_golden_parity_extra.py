@@ -128,3 +128,46 @@ def test_convtasnet_parity():
         got = np.asarray(jnet.apply({"params": params}, jnp.asarray(wav)))
 
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_csmgan_parity():
+    """Golden parity of the CSMGAN causal generator core vs the reference
+    torch implementation with converted weights — covers the GLFB gated
+    blocks (CumLN2d, channel/freq SE attention, gates), the causal TCN
+    bottleneck over the flattened (C, F) axis, the frequency PixelShuffle
+    decoder (channel-order transform) and the down/up projections."""
+    from src.models.components.GAN.generator.CSMGAN.generator5_24k import (
+        CSMGAN as TorchCSMGAN,
+    )
+
+    from use_tpu.engine.convert_torch import convert_csmgan_state_dict
+    from use_tpu.models.gan.csmgan import CSMGAN
+
+    torch.manual_seed(0)
+    kw = dict(
+        in_proj_channels=2, encoder_channels=[2, 2, 4], encoder_depths=[1, 2],
+        encoder_GLFB_kernel_size=(3, 3), TCN_input_dim=16, TCN_BN_dim=8,
+        TCN_hidden_dim=8, TCN_layers=2, TCN_stacks=1, TCN_kernel_size=3,
+        decoder_depths=[1, 2], decoder_GLFB_kernel_size=(3, 3),
+        GLFB_norm="CLN", input_freq=16,
+    )
+    tnet = TorchCSMGAN(**kw)
+    tnet.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 2, 8, 16)).astype(np.float32)  # B, 2, T, F
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+
+    params = convert_csmgan_state_dict(tnet.state_dict())
+    jnet = CSMGAN(
+        in_proj_channels=2, encoder_channels=(2, 2, 4), encoder_depths=(1, 2),
+        tcn_input_dim=16, tcn_bn_dim=8, tcn_hidden_dim=8, tcn_layers=2,
+        tcn_stacks=1, decoder_depths=(1, 2), input_freq=16,
+    )
+    x_jax = np.transpose(x, (0, 2, 3, 1))  # [B, T, F, 2]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jnet.apply({"params": params}, jnp.asarray(x_jax)))
+    got = np.transpose(got, (0, 3, 1, 2))
+
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)

@@ -263,6 +263,106 @@ def convert_tensor_1d(key_leaf: str, arr: np.ndarray):
     return "bias", arr
 
 
+def _glfb_map(rest: list) -> list:
+    """Torch GLFB sequential indices -> our flax names
+    (reference generator5_24k.py:505-541)."""
+    block = rest[0]
+    if block in ("beta", "gamma"):
+        return []  # the leaf itself ('beta'/'gamma' params of the GLFB)
+    idx = rest[1]
+    if block == "first_block":
+        m = {
+            "0": ["CumLN2d_0"],
+            "1": ["Conv_0"],
+            "2": ["CausalConv2d_0", "Conv_0"],
+            "4": ["SeChannelModule_0", "CausalConv2d_0", "Conv_0"],
+            "5": ["SeFreqModule_0", "CausalConv2d_0", "Conv_0"],
+            "6": ["Conv_1"],
+        }
+        # index 2/4/5 carry a nested .conv(.conv) torch wrapper; drop it
+        tail = [p for p in rest[2:-1] if p != "conv"]
+        return m[idx] + tail
+    assert block == "second_block", rest
+    m = {"0": ["CumLN2d_1"], "1": ["Conv_2"], "3": ["Conv_3"]}
+    return m[idx] + rest[2:-1]
+
+
+def _csmgan_leaf(parts: list, arr: np.ndarray):
+    leaf = parts[-1]
+    if leaf == "weight":
+        if arr.ndim == 4:
+            return "kernel", np.transpose(arr, (2, 3, 1, 0))
+        if arr.ndim == 3:
+            return "kernel", np.transpose(arr, (2, 1, 0))
+        return "negative_slope", arr.reshape(()).astype(np.float32)  # PReLU
+    if leaf in ("gain", "bias", "gamma", "beta"):
+        return leaf, arr.reshape(-1) if arr.ndim > 1 else arr
+    raise KeyError(".".join(parts))
+
+
+def convert_csmgan_state_dict(
+    state_dict: Mapping[str, Any], upscale: int = 2
+) -> Dict[str, Any]:
+    """Torch CSMGAN (reference generator5_24k.py:603-688) -> use_tpu params.
+
+    Structure maps mechanically (DownBlock glfb/conv -> enc{i}_glfb{d} +
+    down{i}; UpBlock deconv/glfb -> up{i} + dec{i}_glfb{d}; TCN bottleneck
+    like ConvTasNet). One real transform: torch's PixelShuffle splits
+    channels scale-MINOR (o = nc*scale + s) while ours splits scale-MAJOR
+    (o = s*new_c + nc), so the deconv kernel's output axis is permuted."""
+    params: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] in ("in_proj", "out_proj"):
+            path = [parts[0], "Conv_0"]
+        elif parts[0] == "encoder":
+            i = parts[1]
+            if parts[2] == "glfb":
+                path = [f"enc{i}_glfb{parts[3]}"] + _glfb_map(parts[4:])
+            else:
+                assert parts[2] == "conv", key
+                path = [f"down{i}"]
+        elif parts[0] == "decoder":
+            i = parts[1]
+            if parts[2] == "deconv":
+                path = [f"up{i}", "CausalConv2d_0", "Conv_0"]
+            else:
+                assert parts[2] == "glfb", key
+                path = [f"dec{i}_glfb{parts[3]}"] + _glfb_map(parts[4:])
+        elif parts[0] == "bottleneck":
+            if parts[1] == "LN":
+                path = ["bottleneck", "CumLN1d_0"]
+            elif parts[1] == "BN":
+                path = ["bottleneck", "Conv_0"]
+            elif parts[1] == "TCN":
+                sub = {
+                    "conv1d": ["Conv_0"], "nonlinearity1": ["PReLU_0"],
+                    "reg1": ["CumLN1d_0"], "dconv1d": ["Conv_1"],
+                    "nonlinearity2": ["PReLU_1"], "reg2": ["CumLN1d_1"],
+                    "res_out": ["Conv_2"], "skip_out": ["Conv_3"],
+                }[parts[3]]
+                path = ["bottleneck", f"DepthConv1d_{parts[2]}"] + sub
+            elif parts[1] == "output":
+                path = ["bottleneck", "PReLU_0" if parts[2] == "0" else "Conv_1"]
+            else:
+                raise KeyError(key)
+        else:
+            raise KeyError(key)
+        leaf, arr = _csmgan_leaf(parts, arr)
+        if parts[0] == "decoder" and parts[2] == "deconv" and leaf == "kernel":
+            o = arr.shape[-1]
+            nc_count = o // upscale
+            # ours reads channel o' = s*nc_count + nc where torch wrote
+            # o = nc*upscale + s
+            gather = np.array(
+                [(ou % nc_count) * upscale + (ou // nc_count) for ou in range(o)]
+            )
+            arr = arr[..., gather]
+        _assign(params, path + [leaf], arr)
+    return params
+
+
 def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
     """Load a Lightning .ckpt and extract a sub-module state_dict by prefix.
 
