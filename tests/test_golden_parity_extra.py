@@ -171,3 +171,49 @@ def test_csmgan_parity():
     got = np.transpose(got, (0, 3, 1, 2))
 
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_gagnet_parity():
+    """Golden parity of the GaGNet alt backbone (U^2 encoder + glance/gaze
+    stages) vs the reference torch implementation with converted weights —
+    covers the gated convs, instance norms, per-channel PReLUs, transposed
+    convs (spatial flip), the squeezed TCMs, both bottleneck flatten-order
+    transforms (feature C-major vs F-major; spectra ri-major vs F-major)
+    and the complex mask application."""
+    from src.models.components.sgmse.backbones.gagnet import GaGNet as TorchGaG
+
+    from use_tpu.engine.convert_torch import convert_gagnet_state_dict
+    from use_tpu.models.gagnet import GaGNet
+
+    torch.manual_seed(0)
+    kw = dict(
+        cin=2, dnn_channels=1, k1=(2, 3), k2=(1, 3), c=64, kd1=3, cd1=64,
+        d_feat=448, p=1, q=2, dilas=[1, 2], fft_num=512, is_u2=True,
+        causal=True, is_squeezed=False, acti_type="sigmoid",
+        intra_connect="cat", norm_type="IN",
+    )
+    tnet = TorchGaG(**kw)
+    tnet.eval()
+
+    rng = np.random.default_rng(0)
+    # the reference requires EVEN F (with odd F its `padding_necessary`
+    # local is never set -> UnboundLocalError, gagnet.py:127-145); both
+    # implementations then pad F to 257 internally
+    freqs, frames = 256, 8
+    x = rng.standard_normal((2, 1, freqs, frames, 2)).astype(np.float32)
+    x_torch = torch.view_as_complex(torch.from_numpy(x))  # [B, D=1, F, T]
+    with torch.no_grad():
+        ref = tnet(x_torch)
+    ref = np.stack([ref.real.numpy(), ref.imag.numpy()], axis=-1)  # [B,1,F,T,2]
+
+    params = convert_gagnet_state_dict(
+        tnet.state_dict(), enc_freq=7, enc_ch=64, freqs=freqs + 1
+    )
+    jnet = GaGNet(fft_num=512, d_feat=448, p=1, q=2, dilas=(1, 2), causal=True)
+    x_jax = x[:, 0]  # [B, F, T, 2]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jnet.apply({"params": params}, jnp.asarray(x_jax)))
+    # ours: [B, F, T, 1, 2] -> [B, 1, F, T, 2]
+    got = np.transpose(got, (0, 3, 1, 2, 4))
+
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=5e-3)

@@ -363,6 +363,141 @@ def convert_csmgan_state_dict(
     return params
 
 
+def convert_gagnet_state_dict(
+    state_dict: Mapping[str, Any], enc_freq: int, enc_ch: int, freqs: int
+) -> Dict[str, Any]:
+    """Torch GaGNet (reference backbones/gagnet.py:14-185) -> use_tpu params.
+
+    enc_freq/enc_ch: encoder output F'/C (the reference flattens the
+    bottleneck features channel-major [C*F'], ours frequency-major [F'*C]);
+    freqs = fft_num//2+1 (the reference flattens pre-spectra ri-major
+    [2*F], ours frequency-major [F*2]) — both in_conv kernels get their
+    input rows permuted accordingly. ConvTranspose2d kernels are spatially
+    flipped for flax ConvTranspose (as in convert_convtasnet_state_dict)."""
+    c1 = enc_freq * enc_ch
+
+    def in_rows_perm(n_rows: int) -> np.ndarray:
+        gather = np.empty(n_rows, np.int64)
+        for i in range(c1):
+            f, c = divmod(i, enc_ch)
+            gather[i] = c * enc_freq + f
+        for j in range(n_rows - c1):
+            f, ri = divmod(j, 2)
+            gather[c1 + j] = c1 + ri * freqs + f
+        return gather
+
+    def conv2d(arr):
+        return np.transpose(arr, (2, 3, 1, 0))
+
+    def deconv2d(arr):
+        return np.transpose(arr[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+
+    def conv1d(arr):
+        return np.transpose(arr, (2, 1, 0))
+
+    def leaf_of(parts, arr):
+        if parts[-1] == "bias":
+            return "bias", arr
+        if arr.ndim == 4:
+            return "kernel", conv2d(arr)
+        if arr.ndim == 3:
+            return "kernel", conv1d(arr)
+        return "alpha", arr  # PReLU per-channel weight
+
+    def unit_path(seq_idx: str, kind: str):
+        # (conv/deconv, NormSwitch, PReLU) sequential triplets
+        return {
+            "0": [kind], "1": ["NormSwitch_0"], "2": ["PReLUC_0"],
+        }[seq_idx]
+
+    params: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] == "en":
+            if parts[1] == "meta_unet_list":
+                base = ["en", f"u{parts[2]}"]
+                rest = parts[3:]
+                if rest[0] == "in_conv":
+                    if rest[1] == "0":  # GateConv2d: conv.1 is the Conv2d
+                        path = base + ["GateConv2d_0", "Conv_0"]
+                    elif rest[1] == "1":
+                        path = base + ["NormSwitch_0"]
+                    else:
+                        path = base + ["PReLUC_0"]
+                elif rest[0] in ("enco", "deco"):
+                    sub = f"{rest[0]}{rest[1]}"
+                    seq = rest[3]  # index inside .conv/.deconv Sequential
+                    kind = "Conv_0" if rest[0] == "enco" else "ConvTranspose_0"
+                    path = base + [sub] + unit_path(seq, kind)
+                else:
+                    raise KeyError(key)
+            elif parts[1] == "last_conv":
+                if parts[2] == "0":
+                    path = ["en", "last_gate", "Conv_0"]
+                elif parts[2] == "1":
+                    path = ["en", "NormSwitch_0"]
+                else:
+                    path = ["en", "PReLUC_0"]
+            elif parts[1] == "unet_list":  # plain UNet encoder variant
+                i = parts[2]
+                if parts[3] == "0":
+                    path = ["en", f"gate{i}", "Conv_0"]
+                elif parts[3] == "1":
+                    path = ["en", f"NormSwitch_{i}"]
+                else:
+                    path = ["en", f"PReLUC_{i}"]
+            else:
+                raise KeyError(key)
+        elif parts[0] == "gags":
+            stage = f"gag{parts[1]}"
+            blk = "glance" if parts[2] == "glance_block" else "gaze"
+            rest = parts[3:]
+            if rest[0] in ("in_conv_main", "in_conv_gate"):
+                name = "in_main" if rest[0] == "in_conv_main" else "in_gate"
+                path = [stage, blk, name]
+                if rest[0] == "in_conv_gate":
+                    rest = [rest[0]] + rest[2:]  # drop the Sequential '0'
+            elif rest[0].startswith(("tcn_g", "tcm_r", "tcm_i", "tcm_ri")):
+                group = {
+                    "tcn_g": "tcn", "tcm_r": "tcn_r", "tcm_i": "tcn_i",
+                    "tcm_ri": "tcn_ri",
+                }[rest[0]]
+                a, j = rest[1], rest[3]  # .tcns. in between
+                sub = rest[4]
+                tcm = [stage, blk, f"{group}{a}", f"tcm{j}"]
+                if sub == "in_conv":
+                    path = tcm + ["Conv_0"]
+                elif sub == "d_conv":
+                    path = tcm + {
+                        "0": ["PReLUC_0"], "1": ["NormSwitch_0"], "3": ["Conv_1"],
+                    }[rest[5]]
+                else:
+                    assert sub == "out_conv", key
+                    path = tcm + {
+                        "0": ["PReLUC_1"], "1": ["NormSwitch_1"], "2": ["Conv_2"],
+                    }[rest[5]]
+            elif rest[0].startswith("linear"):
+                name = rest[0].replace("linear_", "linear_")
+                path = [stage, blk, name]
+            else:
+                raise KeyError(key)
+        else:
+            raise KeyError(key)
+
+        # norm affines use scale/bias names
+        if "norm" in parts:
+            leaf = "scale" if parts[-1] == "weight" else "bias"
+        else:
+            leaf, arr = leaf_of(parts, arr)
+            if path[-1] == "ConvTranspose_0" and leaf == "kernel":
+                arr = deconv2d(_to_numpy(value))
+        if path[-1] in ("in_main", "in_gate") and leaf == "kernel":
+            arr = arr[:, in_rows_perm(arr.shape[1]), :]
+        _assign(params, path + [leaf], arr)
+    return params
+
+
 def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
     """Load a Lightning .ckpt and extract a sub-module state_dict by prefix.
 
