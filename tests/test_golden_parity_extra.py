@@ -217,3 +217,73 @@ def test_gagnet_parity():
     got = np.transpose(got, (0, 3, 1, 2, 4))
 
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=5e-3)
+
+
+def test_stft_feature_parity():
+    """Golden parity of the batch-dict STFTFeature front-end (forward +
+    inverse) vs the reference feature/stft.py on the same batch — covers
+    the torch.stft framing, magnitude compression, speech-mask/
+    spectra-length computation, subband split and the iSTFT round trip."""
+    from src.models.components.feature.stft import STFTFeature as TorchSTFTFeature
+
+    from use_tpu.ops.stft_feature import STFTFeature
+
+    rng = np.random.default_rng(0)
+    wav = (0.3 * rng.standard_normal((2, 4000))).astype(np.float32)
+    lengths = np.array([4000, 3200], np.int64)
+
+    kw = dict(n_fft=512, win_length=512, hop_length=128, window="hann",
+              sampling_rate=16000, compression="sqrt", split_subbands=2,
+              inverse_keys=["fake"])
+    tfeat = TorchSTFTFeature(**kw)
+    tb = {
+        "perturbed": torch.from_numpy(wav),
+        "clean": torch.from_numpy(wav * 0.5),
+        "sample_length": torch.from_numpy(lengths),
+    }
+    tb = tfeat(tb)
+
+    jfeat = STFTFeature(**kw)
+    jb = jfeat({
+        "perturbed": jnp.asarray(wav),
+        "clean": jnp.asarray(wav * 0.5),
+        "sample_length": jnp.asarray(lengths),
+    })
+
+    for key in ("perturbed_spectra", "clean_spectra", "speech_mask",
+                "perturbed_subband_spectra"):
+        assert key in jb, key
+        np.testing.assert_allclose(
+            np.asarray(jb[key]), tb[key].numpy(), atol=2e-4, rtol=2e-3,
+            err_msg=key,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(jb["spectra_length"]), tb["spectra_length"].numpy()
+    )
+
+    # inverse round trip on the same spectra
+    tb["fake_spectra"] = tb["perturbed_spectra"]
+    tb["fake_subband_spectra"] = tb["perturbed_subband_spectra"]
+    tb = tfeat.inverse(tb)
+    jb["fake_spectra"] = jb["perturbed_spectra"]
+    jb["fake_subband_spectra"] = jb["perturbed_subband_spectra"]
+    jb = jfeat.inverse(jb)
+    ref_wav = tb["fake"].numpy()
+    got_wav = np.asarray(jb["fake"])
+    n = min(ref_wav.shape[-1], got_wav.shape[-1])
+    np.testing.assert_allclose(
+        got_wav[..., :n], ref_wav[..., :n], atol=5e-4, rtol=5e-3
+    )
+
+
+def test_istft_non_aligned_length_roundtrip():
+    """Regression: istft with an explicit non-frame-aligned length must
+    reconstruct the tail (it used to trim the trailing center pad first and
+    zero the last <hop samples)."""
+    from use_tpu.ops.stft import STFTConfig, istft, stft
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal((1, 4000)).astype(np.float32)  # 4000 % 128 != 0
+    cfg = STFTConfig(n_fft=512, hop_length=128)
+    back = istft(stft(jnp.asarray(wav), cfg), cfg, length=4000)
+    np.testing.assert_allclose(np.asarray(back), wav, atol=2e-5)

@@ -198,7 +198,14 @@ def istft(
 
     if cfg.center:
         p = cfg.n_fft // 2
-        sig = sig[:, p : full - p]
+        if length is None:
+            sig = sig[:, p : full - p]
+        else:
+            # torch.istft semantics: with an explicit length, only the
+            # leading center pad is dropped and `length` samples are taken —
+            # trimming the trailing pad first loses up to hop-1 real samples
+            # on non-frame-aligned signals (tail reconstructed as zeros).
+            sig = sig[:, p : min(p + length, full)]
     if length is not None:
         cur = sig.shape[1]
         if length <= cur:
