@@ -287,3 +287,39 @@ def test_istft_non_aligned_length_roundtrip():
     cfg = STFTConfig(n_fft=512, hop_length=128)
     back = istft(stft(jnp.asarray(wav), cfg), cfg, length=4000)
     np.testing.assert_allclose(np.asarray(back), wav, atol=2e-5)
+
+
+def test_wavenet_bwe_core_parity():
+    """Golden parity of the WaveNet core of the HiFi-GAN+ bandwidth
+    extender (gated residual stacks, skip-sum normalization) vs the
+    reference torch module. The surrounding BandwidthExtender resampling
+    needs torchaudio (absent in this image), so the core is gated here and
+    the resampler separately in tests/test_mel_resample.py."""
+    from src.models.components.GAN.discriminator.hifigan.open_models import (
+        WaveNet as TorchWaveNet,
+    )
+
+    from use_tpu.engine.convert_torch import convert_wavenet_state_dict
+    from use_tpu.models.gan.hifigan_bwe import WaveNet
+
+    torch.manual_seed(0)
+    kw = dict(stacks=2, layers=3, in_channels=1, wavenet_channels=16,
+              out_channels=1, kernel_size=3, dilation_base=3)
+    tnet = TorchWaveNet(**kw)
+    tnet.eval()
+
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal((2, 1, 512))).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()  # [B, 1, T]
+
+    params = convert_wavenet_state_dict(tnet.state_dict(), layers_per_stack=3)
+    jnet = WaveNet(stacks=2, layers=3, wavenet_channels=16, out_channels=1,
+                   kernel_size=3, dilation_base=3)
+    got = np.asarray(
+        jnet.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 1))))
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), ref, atol=2e-5, rtol=2e-4
+    )
+    assert jnet.receptive_field == tnet.receptive_field

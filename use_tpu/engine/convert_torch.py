@@ -498,6 +498,26 @@ def convert_gagnet_state_dict(
     return params
 
 
+def convert_wavenet_state_dict(
+    state_dict: Mapping[str, Any], layers_per_stack: int
+) -> Dict[str, Any]:
+    """Torch WaveNet (reference GAN/discriminator/hifigan/open_models.py:
+    133-253, the BWE generator core) -> use_tpu WaveNet params."""
+    params: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] in ("_conv_in", "_conv_out"):
+            path = [parts[0].lstrip("_")]
+        else:
+            assert parts[0] == "_layers", key
+            st, i = divmod(int(parts[1]), layers_per_stack)
+            path = [f"layer{st}_{i}", parts[2].lstrip("_")]
+        leaf, arr = convert_tensor_1d(parts[-1], arr)
+        _assign(params, path + [leaf], arr)
+    return params
+
+
 def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
     """Load a Lightning .ckpt and extract a sub-module state_dict by prefix.
 
