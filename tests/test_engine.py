@@ -147,3 +147,33 @@ def test_fit_sgmse_end_to_end(tiny_dm, tmp_path):
         ckpt_dir=str(tmp_path / "ckpt"), resume=True, seed=0,
     )
     assert [r["epoch"] for r in result2.history] == [1]
+
+
+def test_lenient_param_load(tmp_path):
+    """Shape-tolerant checkpoint load (reference LSGAN_module.py:51-61):
+    matching leaves restored, mismatched/missing leaves keep the template."""
+    from use_tpu.engine.checkpoint import (
+        load_params,
+        merge_params_lenient,
+        save_params,
+    )
+
+    saved = {
+        "a": jnp.full((3,), 2.0),
+        "blk": {"w": jnp.full((2, 2), 5.0), "old": jnp.ones((4,))},
+    }
+    path = str(tmp_path / "p")
+    save_params(path, saved)
+
+    template = {
+        "a": jnp.zeros((3,)),                 # matches -> restored
+        "blk": {"w": jnp.zeros((2, 3)),       # shape mismatch -> kept
+                "new": jnp.full((2,), 7.0)},  # missing -> kept
+    }
+    merged = load_params(path, template=template, lenient=True)
+    np.testing.assert_allclose(np.asarray(merged["a"]), 2.0 * np.ones(3))
+    np.testing.assert_allclose(np.asarray(merged["blk"]["w"]), np.zeros((2, 3)))
+    np.testing.assert_allclose(np.asarray(merged["blk"]["new"]), 7.0 * np.ones(2))
+
+    _, skipped = merge_params_lenient(template, saved)
+    assert len(skipped) == 2

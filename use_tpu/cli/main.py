@@ -163,7 +163,12 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str]):
         else:
             from use_tpu.engine.checkpoint import load_params
 
-            g_params = load_params(ckpt_path, template=g_params)
+            # GAN checkpoints load leniently (shape-mismatched leaves keep
+            # their fresh init) for fine-tuning across config changes —
+            # reference LSGAN_module.py:51-61. The per-epoch scheduler
+            # already rewrites the optimizer lr from the config on resume
+            # (the analog of LSGAN_module.py:157-162).
+            g_params = load_params(ckpt_path, template=g_params, lenient=True)
     return g_params
 
 

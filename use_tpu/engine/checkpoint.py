@@ -68,8 +68,49 @@ def save_params(path: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str, template: Any = None) -> Any:
+def load_params(path: str, template: Any = None, lenient: bool = False) -> Any:
+    """Load a params pytree.
+
+    lenient=True restores the raw tree and merges it into `template`
+    shape-tolerantly (mismatched or missing leaves keep the template's
+    fresh initialization) — the reference's lenient `load_state_dict` used
+    for GAN fine-tuning across config changes (LSGAN_module.py:51-61)."""
     ckptr = ocp.StandardCheckpointer()
+    if lenient:
+        assert template is not None, "lenient load needs a template"
+        loaded = ckptr.restore(os.path.abspath(path))
+        merged, skipped = merge_params_lenient(template, loaded)
+        if skipped:
+            print(f"[checkpoint] lenient load skipped {len(skipped)} leaves: "
+                  f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+        return merged
     if template is not None:
         return ckptr.restore(os.path.abspath(path), target=template)
     return ckptr.restore(os.path.abspath(path))
+
+
+def merge_params_lenient(template: Any, loaded: Any) -> Tuple[Any, list]:
+    """Copy leaves of `loaded` into `template` wherever the path exists and
+    the shape matches; keep the template leaf otherwise. Returns
+    (merged, skipped_paths). Reference parity: LSGAN_module.py:51-61."""
+    skipped: list = []
+
+    def walk(tpl, ld, path):
+        if isinstance(tpl, dict):
+            out = {}
+            for k, v in tpl.items():
+                if isinstance(ld, dict) and k in ld:
+                    out[k] = walk(v, ld[k], path + (k,))
+                else:
+                    skipped.append("/".join(path + (k,)) + " [missing]")
+                    out[k] = v
+            return out
+        shape = getattr(ld, "shape", None)
+        if shape is not None and tuple(shape) == tuple(tpl.shape):
+            return jax.numpy.asarray(ld, dtype=tpl.dtype)
+        skipped.append(
+            "/".join(path) + f" [shape {shape} != {tuple(tpl.shape)}]"
+        )
+        return tpl
+
+    return walk(template, loaded, ()), skipped
