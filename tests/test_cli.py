@@ -55,3 +55,37 @@ def test_cli_train_smoke(tmp_path, wav_folder):
     ])
     assert os.path.exists(os.path.join(out_dir, "metrics.csv"))
     assert os.path.isdir(os.path.join(out_dir, "checkpoints"))
+
+def test_cli_sweep_smoke(tmp_path, wav_folder, monkeypatch):
+    """Random-search sweep (the Hydra/Optuna multirun analog): two trials of
+    the debug experiment, best.json written with the optimized metric."""
+    import glob
+
+    from use_tpu.cli import sweep
+
+    data, _ = wav_folder
+    files = [
+        os.path.join(root, n)
+        for root, _d, names in os.walk(data) for n in names
+    ]
+    jl = str(tmp_path / "corpus.jsonl")
+    with open(jl, "w") as f:
+        for p in files:
+            f.write(json.dumps({"file_path": p, "duration": 0.5, "sample_rate": SR}) + "\n")
+
+    monkeypatch.chdir(tmp_path)  # sweep writes under ./runs/sweep/
+    sweep.main([
+        "experiment=SGMSE_debug", "n_trials=2", "metric=val/loss_Score",
+        "direction=min", "space.train.lr=loguniform(1e-5,1e-3)",
+        f"data.clean_json_path={jl}", f"data.noise_json_path={jl}",
+        "data.reverb_use_FRA=true", "data.min_duration_seconds=0.1",
+        "data.speech_splice_seconds=1", "data.num_workers=0",
+        "train.max_epochs=1",
+    ])
+    best = glob.glob(str(tmp_path / "runs" / "sweep" / "*" / "best.json"))
+    assert best, "best.json not written"
+    with open(best[0]) as f:
+        payload = json.load(f)
+    assert payload["metric"] == "val/loss_Score"
+    assert np.isfinite(payload["value"])
+    assert "train.lr" in payload["params"]
