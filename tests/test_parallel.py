@@ -84,3 +84,61 @@ def test_data_parallel_train_step_matches_single_device():
         ),
     )
     assert diff < 1e-5, diff
+
+
+def test_tensor_parallel_step_matches_data_parallel():
+    """(data=2, model=2) sharded step == pure-DP step: tensor-parallel
+    kernel sharding must not change the math (XLA inserts the collectives)."""
+    from use_tpu.parallel.mesh import local_batch_to_global
+
+    model = ScoreModel(
+        backbone="ncsnpp", condition="noisy", sde_input="noisy",
+        n_fft=126, hop_length=32, num_frames=16,
+        backbone_kwargs=dict(nf=8, ch_mult=(1,), num_res_blocks=1),
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = optim.adam(lr=1e-3, weight_decay=0.0, params_example=params)
+    step = make_sgmse_train_step(model, tx, accum=1, donate=False)
+    key = jax.random.PRNGKey(7)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "clean": rng.standard_normal((4, 1000)).astype(np.float32),
+        "perturbed": rng.standard_normal((4, 1000)).astype(np.float32),
+    }
+
+    mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    st_dp = TrainState.create(
+        jax.tree.map(lambda p: jax.device_put(p, replicated(mesh_dp)), params), tx
+    )
+    s1, m1 = step(st_dp, shard_batch(batch, mesh_dp), key)
+
+    mesh_tp = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    tp_params = shard_params(params, mesh_tp, min_size=1 << 8)
+    st_tp = TrainState.create(tp_params, tx)
+    s2, m2 = step(st_tp, shard_batch(batch, mesh_tp), key)
+
+    np.testing.assert_allclose(
+        float(m1["loss_Score"]), float(m2["loss_Score"]), rtol=1e-5
+    )
+    diff = jax.tree.reduce(
+        lambda a, b: max(a, b),
+        jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
+        ),
+    )
+    assert diff < 1e-4, diff
+
+
+def test_local_batch_to_global_single_process():
+    """Per-host batch -> global sharded array (the per-rank DataLoader
+    analog; single-process, all 8 devices are local)."""
+    from use_tpu.parallel.mesh import local_batch_to_global
+
+    mesh = make_mesh()
+    local = {"clean": np.arange(8 * 10, dtype=np.float32).reshape(8, 10)}
+    global_batch = local_batch_to_global(local, mesh)
+    arr = global_batch["clean"]
+    assert arr.shape == (8, 10)
+    assert arr.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(arr), local["clean"])
