@@ -16,8 +16,22 @@ import wave
 
 
 def wav_info(path: str):
-    with wave.open(path, "rb") as w:
-        return w.getnframes() / w.getframerate(), w.getframerate()
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / w.getframerate(), w.getframerate()
+    except wave.Error:
+        # stdlib wave rejects IEEE-float WAVs (format 3) — the format this
+        # repo's own pipeline writes; fall back to the shared reader
+        import os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+        )
+        from use_tpu.data.audio_io import read_wav
+
+        data, sr = read_wav(path)
+        return len(data) / sr, sr
 
 
 def main() -> None:
