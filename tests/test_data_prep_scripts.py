@@ -88,3 +88,24 @@ def test_generate_rirs(tmp_path, backend):
     rir = np.asarray(payload["rir"])
     assert rir.ndim == 2 and rir.shape[1] == 1 and np.isfinite(rir).all()
     assert open(lst).read().splitlines()
+
+
+def test_predenoise_fallback(tmp_path):
+    """Predenoising workflow (corpus in -> mirrored denoised corpus out)
+    with the spectral-gate fallback backend."""
+    from use_tpu.data.audio_io import read_wav, write_wav
+
+    src = tmp_path / "noisy" / "spk"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    t = np.arange(SR) / SR
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(SR))
+    write_wav(str(src / "a.wav"), wav.astype(np.float32), SR)
+
+    out = str(tmp_path / "clean")
+    r = _run("predenoise.py", "--in", str(tmp_path / "noisy"), "--out", out)
+    assert r.returncode == 0, r.stderr
+    dst = os.path.join(out, "spk", "a.wav")
+    assert os.path.exists(dst)
+    den, sr = read_wav(dst)
+    assert sr == SR and np.isfinite(den).all() and len(den) == SR
