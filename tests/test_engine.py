@@ -170,10 +170,23 @@ def test_lenient_param_load(tmp_path):
         "blk": {"w": jnp.zeros((2, 3)),       # shape mismatch -> kept
                 "new": jnp.full((2,), 7.0)},  # missing -> kept
     }
-    merged = load_params(path, template=template, lenient=True)
+    # 2 of 3 template leaves are skipped -> the default guard
+    # (max_skipped_frac=0.5) refuses the load instead of silently
+    # degrading to mostly fresh-init params (ADVICE r1).
+    with pytest.raises(ValueError, match="skipped"):
+        load_params(path, template=template, lenient=True)
+
+    merged = load_params(path, template=template, lenient=True,
+                         max_skipped_frac=1.0)
     np.testing.assert_allclose(np.asarray(merged["a"]), 2.0 * np.ones(3))
     np.testing.assert_allclose(np.asarray(merged["blk"]["w"]), np.zeros((2, 3)))
     np.testing.assert_allclose(np.asarray(merged["blk"]["new"]), 7.0 * np.ones(2))
 
     _, skipped = merge_params_lenient(template, saved)
-    assert len(skipped) == 2
+    # two-way report (reference LSGAN_module.py:59-60): template-side
+    # mismatch + missing, plus the checkpoint-only leaf.
+    assert sorted(skipped) == [
+        "blk/new [missing]",
+        "blk/old [loaded-only]",
+        "blk/w [shape (2, 2) != (2, 3)]",
+    ]

@@ -52,14 +52,19 @@ def test_custom_vjp_exact():
 
 
 def test_pallas_gate_rejects_bad_shapes():
-    ok_like = jnp.zeros((2, 4096 * 4, 128), jnp.bfloat16)
-    assert pallas_ok(ok_like) == (jax.default_backend() in ("tpu", "axon"))
+    # Pass tile_s explicitly so the test is independent of the
+    # USE_TPU_GN_TILE env default (ADVICE r1).
+    tile = 4096
+    ok_like = jnp.zeros((2, tile * 4, 128), jnp.bfloat16)
+    assert pallas_ok(ok_like, tile_s=tile) == (
+        jax.default_backend() in ("tpu", "axon")
+    )
     # channel count not lane-aligned
-    assert not pallas_ok(jnp.zeros((2, 4096 * 4, 96), jnp.bfloat16))
+    assert not pallas_ok(jnp.zeros((2, tile * 4, 96), jnp.bfloat16), tile_s=tile)
     # spatial size not tileable
-    assert not pallas_ok(jnp.zeros((2, 4096 * 4 + 1, 128), jnp.bfloat16))
+    assert not pallas_ok(jnp.zeros((2, tile * 4 + 1, 128), jnp.bfloat16), tile_s=tile)
     # too small to be worth a kernel launch
-    assert not pallas_ok(jnp.zeros((2, 512, 128), jnp.bfloat16))
+    assert not pallas_ok(jnp.zeros((2, 512, 128), jnp.bfloat16), tile_s=tile)
 
 
 def test_groupnormact_pallas_flag_path(monkeypatch):

@@ -37,7 +37,7 @@ def _split_args(argv: List[str]):
     for a in argv:
         if a.startswith("experiment="):
             experiment = a.split("=", 1)[1]
-        elif a.startswith(("ckpt_path=", "predict.", "out_dir=")):
+        elif a.startswith(("ckpt_path=", "ckpt.lenient=", "predict.", "out_dir=")):
             k, v = a.split("=", 1)
             if k.startswith("predict.") and k not in _PREDICT_KEYS:
                 raise SystemExit(
@@ -132,8 +132,16 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
     log.info(f"training done -> {out_dir}")
 
 
-def _load_state_params(model, cfg, ckpt_path: Optional[str]):
-    """Init params; restore from an Orbax dir or convert a torch .ckpt."""
+def _load_state_params(model, cfg, ckpt_path: Optional[str],
+                       lenient: bool = False):
+    """Init params; restore from an Orbax dir or convert a torch .ckpt.
+
+    lenient=False (the predict/eval default) loads strictly — a
+    shape-incompatible GAN checkpoint raises instead of silently degrading
+    to mostly fresh-init params (ADVICE r1). Pass lenient=True (CLI:
+    ckpt.lenient=true) for the reference's fine-tuning semantics
+    (LSGAN_module.py:51-61); even then the load hard-fails if most leaves
+    were skipped (engine/checkpoint.py::load_params)."""
     import jax
 
     if cfg["task"] == "sgmse":
@@ -163,12 +171,13 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str]):
         else:
             from use_tpu.engine.checkpoint import load_params
 
-            # GAN checkpoints load leniently (shape-mismatched leaves keep
-            # their fresh init) for fine-tuning across config changes —
-            # reference LSGAN_module.py:51-61. The per-epoch scheduler
-            # already rewrites the optimizer lr from the config on resume
-            # (the analog of LSGAN_module.py:157-162).
-            g_params = load_params(ckpt_path, template=g_params, lenient=True)
+            # GAN checkpoints load strictly by default; ckpt.lenient=true
+            # restores the reference's shape-tolerant fine-tuning load
+            # (LSGAN_module.py:51-61). The per-epoch scheduler already
+            # rewrites the optimizer lr from the config on resume (the
+            # analog of LSGAN_module.py:157-162).
+            g_params = load_params(ckpt_path, template=g_params,
+                                   lenient=lenient)
     return g_params
 
 
@@ -196,7 +205,10 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
         raise SystemExit("predict.data_folder= and predict.target_folder= required")
 
     model = _build_model(cfg)
-    params = _load_state_params(model, cfg, extras.get("ckpt_path"))
+    params = _load_state_params(
+        model, cfg, extras.get("ckpt_path"),
+        lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
+    )
 
     chain = extras.get("predict.chain")
     second = second_params = second_cfg = None
@@ -204,7 +216,8 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
         second_cfg = load_config(extras["predict.second_experiment"])
         second = _build_model(second_cfg)
         second_params = _load_state_params(
-            second, second_cfg, extras.get("predict.second_ckpt")
+            second, second_cfg, extras.get("predict.second_ckpt"),
+            lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
         )
 
     dm = LoadWavDataModule(
@@ -266,7 +279,10 @@ def cmd_eval(experiment: str, overrides: List[str], extras: Dict[str, str]) -> N
     if cfg["task"] != "sgmse":
         raise SystemExit("eval currently supports task=sgmse (reference parity)")
     model = _build_model(cfg)
-    params = _load_state_params(model, cfg, extras.get("ckpt_path"))
+    params = _load_state_params(
+        model, cfg, extras.get("ckpt_path"),
+        lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
+    )
     tx = optim.adam(params_example=params)
     state = TrainState.create(params, tx)
     dm = _build_datamodule(cfg)

@@ -68,21 +68,48 @@ def save_params(path: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str, template: Any = None, lenient: bool = False) -> Any:
+def load_params(
+    path: str,
+    template: Any = None,
+    lenient: bool = False,
+    max_skipped_frac: float = 0.5,
+) -> Any:
     """Load a params pytree.
 
     lenient=True restores the raw tree and merges it into `template`
     shape-tolerantly (mismatched or missing leaves keep the template's
     fresh initialization) — the reference's lenient `load_state_dict` used
-    for GAN fine-tuning across config changes (LSGAN_module.py:51-61)."""
+    for GAN fine-tuning across config changes (LSGAN_module.py:51-61).
+    The skipped-leaf report goes through the ranked logger, and the load
+    hard-fails if more than `max_skipped_frac` of the template's leaves
+    were skipped (a wrong/incompatible checkpoint would otherwise degrade
+    silently to mostly fresh-init params); pass max_skipped_frac=1.0 to
+    accept any overlap."""
     ckptr = ocp.StandardCheckpointer()
     if lenient:
         assert template is not None, "lenient load needs a template"
         loaded = ckptr.restore(os.path.abspath(path))
         merged, skipped = merge_params_lenient(template, loaded)
         if skipped:
-            print(f"[checkpoint] lenient load skipped {len(skipped)} leaves: "
-                  f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+            from use_tpu.utils.logging import ranked_logger
+
+            log = ranked_logger(__name__)
+            n_leaves = len(jax.tree_util.tree_leaves(template))
+            template_side = [s for s in skipped if "[loaded-only]" not in s]
+            log.warning(
+                "lenient load of %s skipped %d/%d template leaves "
+                "(+%d loaded-only): %s%s",
+                path, len(template_side), n_leaves,
+                len(skipped) - len(template_side), skipped[:5],
+                "..." if len(skipped) > 5 else "",
+            )
+            if n_leaves and len(template_side) / n_leaves > max_skipped_frac:
+                raise ValueError(
+                    f"lenient load of {path} skipped "
+                    f"{len(template_side)}/{n_leaves} leaves "
+                    f"(> {max_skipped_frac:.0%}); this checkpoint does not "
+                    f"match the model. Pass max_skipped_frac=1.0 to force."
+                )
         return merged
     if template is not None:
         return ckptr.restore(os.path.abspath(path), target=template)
@@ -92,7 +119,10 @@ def load_params(path: str, template: Any = None, lenient: bool = False) -> Any:
 def merge_params_lenient(template: Any, loaded: Any) -> Tuple[Any, list]:
     """Copy leaves of `loaded` into `template` wherever the path exists and
     the shape matches; keep the template leaf otherwise. Returns
-    (merged, skipped_paths). Reference parity: LSGAN_module.py:51-61."""
+    (merged, skipped_paths) where skipped covers BOTH directions — template
+    leaves not restored ([missing]/[shape ...]) and checkpoint leaves absent
+    from the template ([loaded-only]) — matching the reference's two-way
+    report (LSGAN_module.py:59-60)."""
     skipped: list = []
 
     def walk(tpl, ld, path):
@@ -104,7 +134,18 @@ def merge_params_lenient(template: Any, loaded: Any) -> Tuple[Any, list]:
                 else:
                     skipped.append("/".join(path + (k,)) + " [missing]")
                     out[k] = v
+            if isinstance(ld, dict):
+                for k in ld:
+                    if k not in tpl:
+                        skipped.append(
+                            "/".join(path + (k,)) + " [loaded-only]"
+                        )
             return out
+        if isinstance(ld, dict):
+            skipped.append("/".join(path) + " [missing]")
+            for k in ld:
+                skipped.append("/".join(path + (k,)) + " [loaded-only]")
+            return tpl
         shape = getattr(ld, "shape", None)
         if shape is not None and tuple(shape) == tuple(tpl.shape):
             return jax.numpy.asarray(ld, dtype=tpl.dtype)

@@ -82,16 +82,18 @@ def channel_sums(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return _channel_sums_impl(x)
 
 
-def _channel_sums_impl(x):
-    if not pallas_ok(x):
+def _channel_sums_impl(x, tile_s: int = _TILE_S):
+    # tile_s threads all the way into the grid/BlockSpec so the pallas_ok
+    # gate and the kernel always agree on tiling (ADVICE r1).
+    if not pallas_ok(x, tile_s=tile_s):
         return _sums_xla(x)
     b, s, c = x.shape
-    grid = (b, s // _TILE_S)
+    grid = (b, s // tile_s)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TILE_S, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tile_s, c), lambda i, j: (i, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((b, c), lambda i, j: (0, 0)),
