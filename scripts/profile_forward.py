@@ -102,6 +102,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--summarize-only", default=None, help="just parse an existing trace dir")
+    ap.add_argument("--quant", default="none", help="conv quantization mode (none|int8)")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
@@ -116,7 +117,7 @@ def main() -> None:
     from use_tpu.models.sgmse.score_model import sgmse_large
     from use_tpu.ops import pad_spec
 
-    model = sgmse_large(backbone_kwargs=dict(dtype="bfloat16"))
+    model = sgmse_large(backbone_kwargs=dict(dtype="bfloat16", quant=args.quant))
     params = model.cast_params_for_inference(
         model.init_params(jax.random.PRNGKey(0))
     )

@@ -105,3 +105,24 @@ def test_graphics_figure():
         rng.standard_normal(4000), rng.standard_normal(4000), rng.standard_normal(4000)
     )
     assert fig is not None
+
+
+def test_content_criteria():
+    """HiFi-GAN+ BWE content losses (reference hifigan/criteria.py:10-59):
+    zero at identity, positive and finite under perturbation, and ordered
+    by perturbation size."""
+    import jax.numpy as jnp
+    from use_tpu.models.gan.losses import content_criteria
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(0.1 * rng.standard_normal((1, 24000)), jnp.float32)
+    n = jnp.asarray(rng.standard_normal((1, 24000)), jnp.float32)
+
+    w0, s0, m0 = content_criteria(a, a, sampling_rate=24000)
+    assert float(w0) == 0.0 and float(s0) == 0.0 and float(m0) == 0.0
+
+    small = content_criteria(a, a + 0.001 * n, sampling_rate=24000)
+    big = content_criteria(a, a + 0.01 * n, sampling_rate=24000)
+    for ls, lb in zip(small, big):
+        assert 0.0 < float(ls) < float(lb)
+        assert np.isfinite(float(lb))

@@ -190,3 +190,37 @@ def lsgan_d_loss(batch: Dict) -> Dict:
     out = dict(batch)
     out["loss_D"] = loss
     return out
+
+
+def content_criteria(
+    y_pred: jnp.ndarray, y_true: jnp.ndarray, sampling_rate: int = 48000
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """HiFi-GAN+ BWE content losses (reference GAN/discriminator/hifigan/
+    criteria.py:10-59): L1 on the raw waveform, mean L1 over log-magnitude
+    STFTs at frame lengths 512/1024/2048/4096, and L1 on the log-mel
+    spectrogram (128 mels, 25 ms window / 10 ms hop, f_min=4 kHz at 48 k).
+
+    Returns (wav_loss, stft_loss, melspec_loss) like the reference forward.
+    """
+    wav_loss = jnp.mean(jnp.abs(y_pred - y_true))
+
+    stft_loss = 0.0
+    frame_lengths = (512, 1024, 2048, 4096)
+    for fl in frame_lengths:
+        scfg = STFTConfig(n_fft=fl, hop_length=fl // 4)
+        s_true = jnp.log(spectrogram(y_true, scfg) + 1e-5)
+        s_pred = jnp.log(spectrogram(y_pred, scfg) + 1e-5)
+        stft_loss = stft_loss + jnp.mean(jnp.abs(s_pred - s_true))
+    stft_loss = stft_loss / len(frame_lengths)
+
+    mel_cfg = MelConfig(
+        sample_rate=sampling_rate,
+        f_min=8000 // 2 if sampling_rate == 48000 else 0.0,
+        f_max=sampling_rate // 2, n_fft=2048,
+        win_length=int(0.025 * sampling_rate),
+        hop_length=int(0.010 * sampling_rate), n_mels=128,
+    )
+    m_true = jnp.log(melspectrogram(y_true, mel_cfg) + 1e-5)
+    m_pred = jnp.log(melspectrogram(y_pred, mel_cfg) + 1e-5)
+    melspec_loss = jnp.mean(jnp.abs(m_pred - m_true))
+    return wav_loss, stft_loss, melspec_loss

@@ -69,8 +69,21 @@ def default_init(scale: float = 1.0):
 def conv3x3(
     out_planes: int, stride: int = 1, bias: bool = True, dilation: int = 1,
     init_scale: float = 1.0, name: Optional[str] = None, dtype: Dtype = jnp.float32,
-) -> nn.Conv:
-    """3x3 conv with DDPM init (layers.py:146-162)."""
+    quant: str = "none", quant_min_channels: int = 192,
+) -> nn.Module:
+    """3x3 conv with DDPM init (layers.py:146-162).
+
+    quant='int8' swaps in the dynamically-quantized MXU path
+    (use_tpu/ops/qconv.py) with the identical param tree."""
+    if quant == "int8":
+        from use_tpu.ops.qconv import QConv
+
+        return QConv(
+            out_planes, (3, 3), strides=(stride, stride), padding=dilation,
+            kernel_dilation=(dilation, dilation), use_bias=bias,
+            kernel_init=default_init(init_scale), bias_init=nn.initializers.zeros,
+            name=name, dtype=dtype, min_channels=quant_min_channels,
+        )
     return nn.Conv(
         out_planes, (3, 3), strides=(stride, stride), padding=dilation,
         kernel_dilation=(dilation, dilation), use_bias=bias,
@@ -82,8 +95,17 @@ def conv3x3(
 def conv1x1(
     out_planes: int, stride: int = 1, bias: bool = True, init_scale: float = 1.0,
     name: Optional[str] = None, dtype: Dtype = jnp.float32,
-) -> nn.Conv:
+    quant: str = "none", quant_min_channels: int = 192,
+) -> nn.Module:
     """1x1 conv with DDPM init (layers.py:111-118)."""
+    if quant == "int8":
+        from use_tpu.ops.qconv import QConv
+
+        return QConv(
+            out_planes, (1, 1), strides=(stride, stride), padding=0, use_bias=bias,
+            kernel_init=default_init(init_scale), bias_init=nn.initializers.zeros,
+            name=name, dtype=dtype, min_channels=quant_min_channels,
+        )
     return nn.Conv(
         out_planes, (1, 1), strides=(stride, stride), padding=0, use_bias=bias,
         kernel_init=default_init(init_scale), bias_init=nn.initializers.zeros,
@@ -119,9 +141,21 @@ class GroupNormAct(nn.Module):
     act: Optional[Callable] = None
     out_dtype: Dtype = jnp.float32
     epsilon: float = 1e-6
+    # int8 serving: 'out' -> return (int8 activation, fp32 scale) with the
+    # quantize fused into the apply pass (it is the pass's only consumer, so
+    # XLA emits ONE read of x writing int8 — half the bf16 write traffic and
+    # no separate max-abs/round passes). 'scale' -> return (bf16/f32 y,
+    # scale) for callers that resample between the norm and the conv.
+    # The scale is ANALYTIC, not data-dependent: post-GN values are
+    # zero-mean unit-variance per group, so per channel y_c = gamma_c*xhat +
+    # beta_c is bounded by |beta_c| + k*|gamma_c| for |xhat| <= k sigma;
+    # s = max_c(|beta_c| + k|gamma_c|)/127 clips only >k-sigma outliers
+    # (k=8 default). The activation (|silu(y)| <= |y|) preserves the bound.
+    quant: str = "none"  # 'none' | 'out' | 'scale'
+    quant_k: float = 6.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         c = self.channels
         assert x.shape[-1] == c, (x.shape, c)
         groups = min(max(c // 4, 1), 32)
@@ -170,7 +204,22 @@ class GroupNormAct(nn.Module):
         y = x.astype(self.out_dtype) * a + off
         if self.act is not None:
             y = self.act(y)
-        return y
+        if self.quant == "none":
+            return y
+        # PER-CHANNEL scales [C]: each channel uses its own k-sigma range.
+        # A per-channel input scale cannot be dequantized after a conv, but
+        # it CAN be folded into the conv's weight quantization exactly
+        # (w'_c = w_c * u_c) because u is a static function of the norm
+        # params — see qconv2d_prequant(in_scale=...).
+        u = (
+            jnp.abs(bias) + self.quant_k * jnp.abs(scale)
+        ).astype(jnp.float32) / 127.0 + 1e-12
+        if self.quant == "scale":
+            return y, u
+        q = jnp.clip(
+            jnp.round(y.astype(jnp.float32) / u), -127.0, 127.0
+        ).astype(jnp.int8)
+        return q, u
 
 
 class GaussianFourierProjection(nn.Module):
@@ -259,7 +308,7 @@ class AttnBlockpp(nn.Module):
         out = out.astype(x.dtype)
         if not self.skip_rescale:
             return x + out
-        return (x + out) / np.sqrt(2.0)
+        return (x + out) * float(1.0 / np.sqrt(2.0))
 
 
 class Upsample(nn.Module):
@@ -330,21 +379,47 @@ class ResnetBlockDDPMpp(nn.Module):
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
+    quant: str = "none"
+    quant_min_channels: int = 128
+    quant_k: float = 6.0
 
     @nn.compact
     def __call__(self, x, temb=None, *, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = GroupNormAct(in_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_0")(x)
-        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
+        # int8 serving path: see ResnetBlockBigGANpp
+        q0 = (self.quant == "int8" and not train
+              and min(in_ch, out_ch) >= self.quant_min_channels)
+        q1 = (self.quant == "int8" and not train
+              and out_ch >= self.quant_min_channels)
+
+        gn0 = GroupNormAct(in_ch, act=self.act, out_dtype=self.dtype,
+                           name="GroupNorm_0", quant="out" if q0 else "none",
+                           quant_k=self.quant_k)
+        conv0 = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
+                        quant="int8" if q0 else "none")
+        if q0:
+            hq, s0 = gn0(x)
+            h = conv0(hq, prequant_scale=s0)
+        else:
+            h = conv0(gn0(x))
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
                 name="Dense_0", dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = GroupNormAct(out_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_1")(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
+        gn1 = GroupNormAct(out_ch, act=self.act, out_dtype=self.dtype,
+                           name="GroupNorm_1", quant="out" if q1 else "none",
+                           quant_k=self.quant_k)
+        conv1 = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                        dtype=self.dtype, quant="int8" if q1 else "none")
+        if q1:
+            hq, s1 = gn1(h)
+            h = conv1(hq, prequant_scale=s1)
+        else:
+            h = gn1(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = conv1(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
                 x = conv3x3(out_ch, name="Conv_2", dtype=self.dtype)(x)
@@ -353,7 +428,7 @@ class ResnetBlockDDPMpp(nn.Module):
         x = x.astype(h.dtype)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * float(1.0 / np.sqrt(2.0))
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -370,12 +445,35 @@ class ResnetBlockBigGANpp(nn.Module):
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
+    quant: str = "none"
+    quant_min_channels: int = 128
+    quant_k: float = 6.0
 
     @nn.compact
     def __call__(self, x, temb=None, *, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = GroupNormAct(in_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_0")(x)
+        # int8 serving (never in training: jnp.round has zero gradient).
+        # The quantize is fused into the GroupNorm apply pass with an
+        # analytic scale (GroupNormAct docstring) — zero extra HBM passes —
+        # so the gate only needs the conv to be MXU-bound at all.
+        q0 = (self.quant == "int8" and not train
+              and min(in_ch, out_ch) >= self.quant_min_channels)
+        q1 = (self.quant == "int8" and not train
+              and out_ch >= self.quant_min_channels)
+
+        gn0 = GroupNormAct(
+            in_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_0",
+            quant=("scale" if (self.up or self.down) else "out") if q0 else "none",
+            quant_k=self.quant_k,
+        )
+        s0 = None
+        if q0 and not (self.up or self.down):
+            h, s0 = gn0(x)
+        elif q0:
+            h, s0 = gn0(x)  # bf16 y + scale; quantize after resampling
+        else:
+            h = gn0(x)
 
         if self.up:
             if self.fir:
@@ -391,21 +489,44 @@ class ResnetBlockBigGANpp(nn.Module):
             else:
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
+        if q0 and (self.up or self.down):
+            # the normalized FIR kernel has unit DC gain per polyphase leg,
+            # so the pre-resample bound still holds; fuses into the FIR pass
+            from use_tpu.ops.qconv import quantize_with_scale
 
-        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
+            h = quantize_with_scale(h, s0)
+
+        conv0 = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
+                        quant="int8" if q0 else "none")
+        h = conv0(h, prequant_scale=s0) if q0 else conv0(h)
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
                 name="Dense_0", dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = GroupNormAct(out_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_1")(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
+        gn1 = GroupNormAct(
+            out_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_1",
+            quant="out" if q1 else "none", quant_k=self.quant_k,
+        )
+        conv1 = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                        dtype=self.dtype, quant="int8" if q1 else "none")
+        if q1:
+            # dropout is deterministic-identity at inference (quant never
+            # runs in training), so it drops out of the quantized path
+            hq, s1 = gn1(h)
+            h = conv1(hq, prequant_scale=s1)
+        else:
+            h = gn1(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = conv1(h)
 
         if in_ch != out_ch or self.up or self.down:
+            # 1x1 skip conv stays bf16: memory-bound, and its input is the
+            # raw (un-normalized) multi-consumer x where the fused-quantize
+            # trick does not apply
             x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
 
         x = x.astype(h.dtype)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * float(1.0 / np.sqrt(2.0))

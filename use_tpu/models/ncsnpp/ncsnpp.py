@@ -61,6 +61,12 @@ class NCSNppConfig:
     discriminative: bool = False
     dtype: str = "float32"  # compute dtype for convs/matmuls ('bfloat16' for
     # inference/serving speed; params and normalizations stay float32)
+    quant: str = "none"  # 'int8': residual-block convs run the MXU in int8
+    # with dynamic per-sample/per-channel scales (use_tpu/ops/qconv.py);
+    # inference-only serving mode, ~2x MXU rate on v5e
+    quant_min_channels: int = 128  # gate: only convs with
+    # min(Cin, Cout) >= this quantize (see ops/qconv.py::QConv)
+    quant_k: float = 6.0  # k-sigma analytic activation range (GroupNormAct)
 
     def resolve(self) -> "NCSNppConfig":
         """Apply the discriminative-mode overrides (ncsnpp.py:86-92)."""
@@ -112,13 +118,17 @@ class NCSNpp(nn.Module):
                 layers.ResnetBlockBigGANpp,
                 act=act, dropout=cfg.dropout, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
                 init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale,
-                temb_dim=nf * 4, dtype=cdtype,
+                temb_dim=nf * 4, dtype=cdtype, quant=cfg.quant,
+                quant_min_channels=cfg.quant_min_channels,
+                quant_k=cfg.quant_k,
             )
         else:
             ResnetBlock = functools.partial(
                 layers.ResnetBlockDDPMpp,
                 act=act, dropout=cfg.dropout, init_scale=cfg.init_scale,
                 skip_rescale=cfg.skip_rescale, temb_dim=nf * 4, dtype=cdtype,
+                quant=cfg.quant, quant_min_channels=cfg.quant_min_channels,
+                quant_k=cfg.quant_k,
             )
         AttnBlock = functools.partial(
             layers.AttnBlockpp, init_scale=cfg.init_scale,
@@ -184,7 +194,7 @@ class NCSNpp(nn.Module):
                         out_ch=h.shape[-1], name=mname(),
                     )(input_pyramid)
                     if cfg.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * float(1.0 / np.sqrt(2.0))
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -241,7 +251,7 @@ class NCSNpp(nn.Module):
                             out_ch=h.shape[-1], name=mname(),
                         )(pyramid)
                         if cfg.skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) * float(1.0 / np.sqrt(2.0))
                         else:
                             pyramid = pyramid + h
                         h = pyramid
