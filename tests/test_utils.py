@@ -54,3 +54,95 @@ def test_get_metric_value():
 def test_rtf():
     # 2 s of wall for 4 s of audio -> 0.5x real time factor
     assert rtf(2.0, 4 * 24000, 24000) == pytest.approx(0.5)
+
+
+def test_metric_logger_zoo(tmp_path, monkeypatch):
+    """Full logger-zoo multiplexing (reference configs/logger/*.yaml):
+    csv always; comet/mlflow/neptune/aim via injected fake modules; missing
+    backends skip gracefully."""
+    import sys
+    import types
+
+    from use_tpu.utils.logging import MetricLogger
+
+    events = {"comet": [], "mlflow": [], "neptune": [], "aim": []}
+
+    comet = types.ModuleType("comet_ml")
+
+    class _Comet:
+        def __init__(self, project_name):
+            events["comet"].append(("init", project_name))
+
+        def log_metrics(self, scalars, step):
+            events["comet"].append(("log", dict(scalars), step))
+
+        def end(self):
+            events["comet"].append(("end",))
+
+    comet.Experiment = _Comet
+
+    mlflow = types.ModuleType("mlflow")
+    mlflow.set_tracking_uri = lambda uri: events["mlflow"].append(("uri", uri))
+    mlflow.set_experiment = lambda e: events["mlflow"].append(("exp", e))
+    mlflow.start_run = lambda: events["mlflow"].append(("start",))
+    mlflow.log_metrics = lambda m, step: events["mlflow"].append(("log", m, step))
+    mlflow.end_run = lambda: events["mlflow"].append(("end",))
+
+    neptune = types.ModuleType("neptune")
+
+    class _NeptuneSeries:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, v, step):
+            events["neptune"].append(("log", self.key, v, step))
+
+    class _NeptuneRun:
+        def __getitem__(self, key):
+            return _NeptuneSeries(key)
+
+        def stop(self):
+            events["neptune"].append(("stop",))
+
+    neptune.init_run = lambda project: _NeptuneRun()
+
+    aim = types.ModuleType("aim")
+
+    class _AimRun:
+        def __init__(self, repo):
+            events["aim"].append(("init", repo))
+
+        def track(self, v, name, step):
+            events["aim"].append(("log", name, v, step))
+
+        def close(self):
+            events["aim"].append(("close",))
+
+    aim.Run = _AimRun
+
+    for name, mod in [
+        ("comet_ml", comet), ("mlflow", mlflow), ("neptune", neptune), ("aim", aim)
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    csv_path = str(tmp_path / "metrics.csv")
+    logger = MetricLogger(
+        csv_path=csv_path,
+        comet_project="proj",
+        mlflow_uri="file:///tmp/mlruns",
+        mlflow_experiment="exp",
+        neptune_project="ws/proj",
+        aim_repo=str(tmp_path),
+        # wandb is absent from the environment: must skip gracefully
+        wandb_project="proj",
+    )
+    logger.log({"epoch": 3, "val/loss": 0.25, "name": "run"})
+    logger.close()
+
+    assert ("log", {"epoch": 3, "val/loss": 0.25}, 3) in events["comet"]
+    assert ("log", {"epoch": 3.0, "val_loss": 0.25}, 3) in events["mlflow"]
+    assert ("log", "val/loss", 0.25, 3) in events["neptune"]
+    assert ("log", "val/loss", 0.25, 3) in events["aim"]
+    assert ("end",) in events["comet"] and ("end",) in events["mlflow"]
+    header, row = open(csv_path).read().splitlines()
+    assert header == "epoch,val/loss,name" and row == "3,0.25,run"

@@ -1,9 +1,11 @@
-"""Metric logging: rank-aware console + CSV + optional TensorBoard.
+"""Metric logging: rank-aware console + CSV + optional experiment trackers.
 
 Replaces the reference's RankedLogger (src/utils/pylogger.py:7-51) and its
-logger zoo (configs/logger/*.yaml) with a small multiplexer: every log(row)
-goes to stdout on process 0, to a CSV file, to TensorBoard, and to
-Weights & Biases when the optional backends import successfully.
+logger zoo (configs/logger/*.yaml: csv, tensorboard, wandb, comet, mlflow,
+neptune, aim) with a small multiplexer: every log(row) goes to stdout on
+process 0, to a CSV file, and to every optional tracker backend that imports
+successfully (each skips gracefully when its package is absent, like the
+reference's per-logger YAML selection).
 """
 from __future__ import annotations
 
@@ -40,12 +42,22 @@ class MetricLogger:
         tensorboard_dir: Optional[str] = None,
         wandb_project: Optional[str] = None,
         wandb_kwargs: Optional[Dict] = None,
+        comet_project: Optional[str] = None,
+        mlflow_uri: Optional[str] = None,
+        mlflow_experiment: Optional[str] = None,
+        neptune_project: Optional[str] = None,
+        aim_repo: Optional[str] = None,
     ):
         self.csv_path = csv_path
         self._csv_keys = None
         self._tb = None
         self._wandb = None
+        self._comet = None
+        self._mlflow = None
+        self._neptune = None
+        self._aim = None
         self._log = ranked_logger()
+        rank0 = jax.process_count() == 1 or jax.process_index() == 0
         if tensorboard_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -53,7 +65,7 @@ class MetricLogger:
                 self._tb = SummaryWriter(tensorboard_dir)
             except Exception:
                 self._log.warning("tensorboard writer unavailable; skipping")
-        if wandb_project and (jax.process_count() == 1 or jax.process_index() == 0):
+        if wandb_project and rank0:
             try:
                 import wandb
 
@@ -62,6 +74,41 @@ class MetricLogger:
                 )
             except Exception:
                 self._log.warning("wandb unavailable; skipping")
+        # Remaining reference logger zoo (configs/logger/{comet,mlflow,
+        # neptune,aim}.yaml) — rank-zero only, graceful skip on missing deps.
+        if comet_project and rank0:
+            try:
+                import comet_ml
+
+                self._comet = comet_ml.Experiment(project_name=comet_project)
+            except Exception:
+                self._log.warning("comet_ml unavailable; skipping")
+        if (mlflow_uri or mlflow_experiment) and rank0:
+            try:
+                import mlflow
+
+                if mlflow_uri:
+                    mlflow.set_tracking_uri(mlflow_uri)
+                if mlflow_experiment:
+                    mlflow.set_experiment(mlflow_experiment)
+                self._mlflow = mlflow
+                mlflow.start_run()
+            except Exception:
+                self._log.warning("mlflow unavailable; skipping")
+        if neptune_project and rank0:
+            try:
+                import neptune
+
+                self._neptune = neptune.init_run(project=neptune_project)
+            except Exception:
+                self._log.warning("neptune unavailable; skipping")
+        if aim_repo and rank0:
+            try:
+                from aim import Run as AimRun
+
+                self._aim = AimRun(repo=aim_repo)
+            except Exception:
+                self._log.warning("aim unavailable; skipping")
 
     def log(self, row: Dict) -> None:
         msg = " ".join(
@@ -76,16 +123,37 @@ class MetricLogger:
                 if new:
                     writer.writeheader()
                 writer.writerow(row)
+        step = int(row.get("epoch", row.get("step", 0)))
+        scalars = {k: v for k, v in row.items() if isinstance(v, (int, float))}
         if self._tb is not None:
-            step = int(row.get("epoch", row.get("step", 0)))
-            for k, v in row.items():
-                if isinstance(v, (int, float)):
-                    self._tb.add_scalar(k, v, step)
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, v, step)
         if self._wandb is not None:
             self._wandb.log(row)
+        if self._comet is not None:
+            self._comet.log_metrics(scalars, step=step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k.replace("/", "_"): float(v) for k, v in scalars.items()},
+                step=step,
+            )
+        if self._neptune is not None:
+            for k, v in scalars.items():
+                self._neptune[k].append(v, step=step)
+        if self._aim is not None:
+            for k, v in scalars.items():
+                self._aim.track(v, name=k, step=step)
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._comet is not None:
+            self._comet.end()
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+        if self._neptune is not None:
+            self._neptune.stop()
+        if self._aim is not None:
+            self._aim.close()
