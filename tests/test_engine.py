@@ -88,6 +88,22 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save(tmp_path):
+    """async_save=True: save() returns without blocking on serialization;
+    wait()/close() join the background write and the checkpoint restores."""
+    params = {"a": jnp.arange(4.0)}
+    tx = optim.adam(lr=1e-3)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), monitor="val/loss", async_save=True
+    )
+    mgr.save(0, state, {"val/loss": 1.0})
+    mgr.wait()
+    restored = mgr.restore(template=state)
+    np.testing.assert_allclose(np.asarray(restored.params["a"]), np.arange(4.0))
+    mgr.close()
+
+
 def test_config_system():
     cfg = load_config("SGMSE_Large")
     assert cfg["model"]["backbone"] == "ncsnpplarge"

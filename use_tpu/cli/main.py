@@ -119,6 +119,7 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
             seed=t.get("seed", 0), ema_decay=t.get("ema_decay", 0.0),
             ckpt_dir=os.path.join(out_dir, "checkpoints"),
             resume=bool(extras.get("ckpt_path")), logger=logger,
+            async_ckpt=bool(t.get("async_ckpt", False)),
         )
     else:
         loop.fit_lsgan(
@@ -128,6 +129,7 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
             scheduler=t.get("scheduler"), max_epochs=t.get("max_epochs", 1),
             seed=t.get("seed", 0), ckpt_dir=os.path.join(out_dir, "checkpoints"),
             resume=bool(extras.get("ckpt_path")), logger=logger,
+            async_ckpt=bool(t.get("async_ckpt", False)),
         )
     log.info(f"training done -> {out_dir}")
 

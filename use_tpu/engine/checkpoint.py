@@ -23,16 +23,24 @@ class CheckpointManager:
         max_to_keep: int = 10,
         monitor: str = "val/loss",
         mode: str = "min",
+        async_save: bool = False,
     ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        # async_save=True returns from save() as soon as the on-device state
+        # is snapshotted, with serialization finishing on a background thread
+        # (Orbax's async machinery) — the preemptible-TPU pattern: training
+        # continues while the write drains; wait()/close() join it. Kept
+        # opt-in so single-threaded flows keep strict write-then-read order.
+        self.async_save = async_save
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m.get(monitor, np.inf)) if monitor else None,
             best_mode=mode,
             create=True,
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -41,6 +49,11 @@ class CheckpointManager:
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics or None
         )
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Join any in-flight async save."""
         self._mgr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:

@@ -93,6 +93,7 @@ def fit_sgmse(
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
     logger: Optional[MetricLogger] = None,
+    async_ckpt: bool = False,
 ) -> FitResult:
     """Score-matching training (SGMSE_module semantics)."""
     scheduler = scheduler or {"step_size": 30, "gamma": 0.5}
@@ -107,7 +108,10 @@ def fit_sgmse(
     sched = optim.step_lr(lr, **scheduler)
 
     mgr = (
-        CheckpointManager(ckpt_dir, monitor="val/loss_Score") if ckpt_dir else None
+        CheckpointManager(
+            ckpt_dir, monitor="val/loss_Score", async_save=async_ckpt
+        )
+        if ckpt_dir else None
     )
     start_epoch = 0
     if resume and mgr and mgr.latest_step() is not None:
@@ -167,6 +171,7 @@ def fit_lsgan(
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
     logger: Optional[MetricLogger] = None,
+    async_ckpt: bool = False,
 ) -> FitResult:
     """Adversarial training (GANModule.training_step semantics)."""
     scheduler = scheduler or {"step_size": 30, "gamma": 0.5}
@@ -183,7 +188,10 @@ def fit_lsgan(
     g_sched = optim.step_lr(g_lr, **scheduler)
     d_sched = optim.step_lr(d_lr, **scheduler)
 
-    mgr = CheckpointManager(ckpt_dir, monitor="val/loss_G") if ckpt_dir else None
+    mgr = (
+        CheckpointManager(ckpt_dir, monitor="val/loss_G", async_save=async_ckpt)
+        if ckpt_dir else None
+    )
     start_epoch = 0
     if resume and mgr and mgr.latest_step() is not None:
         state = mgr.restore(template=state)

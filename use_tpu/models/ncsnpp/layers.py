@@ -97,7 +97,14 @@ def conv1x1(
     name: Optional[str] = None, dtype: Dtype = jnp.float32,
     quant: str = "none", quant_min_channels: int = 192,
 ) -> nn.Module:
-    """1x1 conv with DDPM init (layers.py:111-118)."""
+    """1x1 conv with DDPM init (layers.py:111-118).
+
+    Deliberately the conv emitter, NOT a channel einsum: a dot_general here
+    measures ~identical in isolation but cannot join XLA's convolution
+    fusion pipelines, and swapping the 1x1 skips to einsum cost 76 ms per
+    sampler step end-to-end on v5e (7.04 -> 5.87 audio-s/s) — see
+    BASELINE.md negative results.
+    """
     if quant == "int8":
         from use_tpu.ops.qconv import QConv
 

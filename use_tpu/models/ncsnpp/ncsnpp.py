@@ -275,16 +275,21 @@ class NCSNpp(nn.Module):
             )(h)
             h = layers.conv3x3(total_channels, init_scale=cfg.init_scale, name=mname())(h)
 
-        h = h.astype(jnp.float32)
         if cfg.scale_by_sigma:
             assert time_cond is not None
-            h = h / used_sigmas.reshape((-1,) + (1,) * (h.ndim - 1))
+            # reciprocal in fp32, applied in the compute dtype: keeps the
+            # full-resolution tail (sigma scale + output projection) in bf16
+            # on the serving path — the old astype(f32)-then-divide chain
+            # materialized an f32 copy of the full-res activation (~11 ms of
+            # a 378 ms sampler step measured on v5e)
+            inv = (1.0 / used_sigmas).reshape((-1,) + (1,) * (h.ndim - 1))
+            h = h * inv.astype(h.dtype)
 
         # output projection to complex pairs (ncsnpp.py:114, 497-500):
         # channels [2*D] split re-major: out[..., :D]=re, out[..., D:]=im
         h = layers.conv1x1(
-            2 * cfg.spatial_channels, name="output_layer",
-        )(h)
+            2 * cfg.spatial_channels, name="output_layer", dtype=cdtype,
+        )(h).astype(jnp.float32)
         d = cfg.spatial_channels
         h = jnp.stack([h[..., :d], h[..., d:]], axis=-1)  # [B, F, T, D, 2]
         return h
