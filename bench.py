@@ -23,6 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Optional PRNG implementation override (USE_BENCH_RNG=rbg): threefry2x32 is
+# the JAX default but is VPU-heavy on TPU; rbg uses the hardware generator.
+# Sampling noise only needs to be i.i.d. Gaussian in distribution.
+if os.environ.get("USE_BENCH_RNG"):
+    jax.config.update("jax_default_prng_impl", os.environ["USE_BENCH_RNG"])
+
 N_STEPS = 30
 BATCH = int(os.environ.get("USE_BENCH_BATCH", "8"))
 AUDIO_SECONDS = 10.0

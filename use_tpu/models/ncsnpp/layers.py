@@ -391,7 +391,7 @@ class ResnetBlockDDPMpp(nn.Module):
     quant_k: float = 6.0
 
     @nn.compact
-    def __call__(self, x, temb=None, *, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
         # int8 serving path: see ResnetBlockBigGANpp
@@ -457,7 +457,7 @@ class ResnetBlockBigGANpp(nn.Module):
     quant_k: float = 6.0
 
     @nn.compact
-    def __call__(self, x, temb=None, *, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch is not None else in_ch
         # int8 serving (never in training: jnp.round has zero gradient).

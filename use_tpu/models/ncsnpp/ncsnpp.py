@@ -67,6 +67,11 @@ class NCSNppConfig:
     quant_min_channels: int = 128  # gate: only convs with
     # min(Cin, Cout) >= this quantize (see ops/qconv.py::QConv)
     quant_k: float = 6.0  # k-sigma analytic activation range (GroupNormAct)
+    remat: bool = False  # rematerialize residual blocks in the backward
+    # pass (jax.checkpoint per block). Required to FIT the shipping
+    # ncsnpplarge training step (512x512 specs, batch 2 x accum 4) in one
+    # v5e's 16 GB HBM — without it the f32 backward OOMs; costs one extra
+    # forward worth of FLOPs during training, nothing at inference.
 
     def resolve(self) -> "NCSNppConfig":
         """Apply the discriminative-mode overrides (ncsnpp.py:86-92)."""
@@ -113,9 +118,23 @@ class NCSNpp(nn.Module):
         def mname() -> str:
             return f"m{next(midx)}"
 
+        resblock_cls = (
+            layers.ResnetBlockBigGANpp
+            if cfg.resblock_type == "biggan"
+            else layers.ResnetBlockDDPMpp
+        )
+        if cfg.remat:
+            # per-block rematerialization; (self, x, temb, train) -> train
+            # is static (Python bool controlling dropout determinism). Note
+            # the gate must NOT depend on `train`: the score-matching loss
+            # applies the backbone with train=False (dropout 0 in the
+            # shipping recipes) and still differentiates through it. In
+            # forward-only (sampler) traces the checkpoint wrapper is a
+            # plain call that XLA inlines — no fusion impact.
+            resblock_cls = nn.remat(resblock_cls, static_argnums=(3,))
         if cfg.resblock_type == "biggan":
             ResnetBlock = functools.partial(
-                layers.ResnetBlockBigGANpp,
+                resblock_cls,
                 act=act, dropout=cfg.dropout, fir=cfg.fir, fir_kernel=cfg.fir_kernel,
                 init_scale=cfg.init_scale, skip_rescale=cfg.skip_rescale,
                 temb_dim=nf * 4, dtype=cdtype, quant=cfg.quant,
@@ -124,7 +143,7 @@ class NCSNpp(nn.Module):
             )
         else:
             ResnetBlock = functools.partial(
-                layers.ResnetBlockDDPMpp,
+                resblock_cls,
                 act=act, dropout=cfg.dropout, init_scale=cfg.init_scale,
                 skip_rescale=cfg.skip_rescale, temb_dim=nf * 4, dtype=cdtype,
                 quant=cfg.quant, quant_min_channels=cfg.quant_min_channels,
@@ -168,7 +187,7 @@ class NCSNpp(nn.Module):
         for i_level in range(num_resolutions):
             for _ in range(cfg.num_res_blocks):
                 out_ch = nf * cfg.ch_mult[i_level]
-                h = ResnetBlock(out_ch=out_ch, name=mname())(hs[-1], temb, train=train)
+                h = ResnetBlock(out_ch=out_ch, name=mname())(hs[-1], temb, train)
                 if all_resolutions[i_level] in cfg.attn_resolutions:
                     h = AttnBlock(name=mname())(h)
                 hs.append(h)
@@ -180,7 +199,7 @@ class NCSNpp(nn.Module):
                         fir_kernel=cfg.fir_kernel, name=mname(),
                     )(hs[-1])
                 else:
-                    h = ResnetBlock(down=True, name=mname())(hs[-1], temb, train=train)
+                    h = ResnetBlock(down=True, name=mname())(hs[-1], temb, train)
 
                 if cfg.progressive_input == "input_skip":
                     input_pyramid = downsample_2d(input_pyramid, cfg.fir_kernel, factor=2)
@@ -202,9 +221,9 @@ class NCSNpp(nn.Module):
 
         # --- bottleneck: Resnet -> Attn -> Resnet (ncsnpp.py:244-246, 419-425)
         h = hs[-1]
-        h = ResnetBlock(name=mname())(h, temb, train=train)
+        h = ResnetBlock(name=mname())(h, temb, train)
         h = AttnBlock(name=mname())(h)
-        h = ResnetBlock(name=mname())(h, temb, train=train)
+        h = ResnetBlock(name=mname())(h, temb, train)
 
         pyramid = None
 
@@ -213,7 +232,7 @@ class NCSNpp(nn.Module):
             for _ in range(cfg.num_res_blocks + 1):
                 out_ch = nf * cfg.ch_mult[i_level]
                 h = ResnetBlock(out_ch=out_ch, name=mname())(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train=train
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
                 )
 
             if all_resolutions[i_level] in cfg.attn_resolutions:
@@ -263,7 +282,7 @@ class NCSNpp(nn.Module):
                         fir_kernel=cfg.fir_kernel, name=mname(),
                     )(h)
                 else:
-                    h = ResnetBlock(up=True, name=mname())(h, temb, train=train)
+                    h = ResnetBlock(up=True, name=mname())(h, temb, train)
 
         assert not hs
 
