@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--accum", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=("full", "conv_outs"))
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-block remat (OOMs one v5e at the "
                          "shipping shapes; kept for A/B on bigger slices)")
@@ -46,7 +48,8 @@ def main() -> None:
     from use_tpu.models.sgmse.score_model import sgmse_large
 
     model = sgmse_large(
-        backbone_kwargs=dict(dtype=args.dtype, remat=not args.no_remat)
+        backbone_kwargs=dict(dtype=args.dtype, remat=not args.no_remat,
+                             remat_policy=args.remat_policy)
     )
     params = model.init_params(jax.random.PRNGKey(0))
     tx = optim.adam(5e-4, 1e-7, grad_clip=100.0, params_example=params)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from use_tpu.ops.upfirdn2d import (
     conv_downsample_2d,
@@ -410,6 +411,7 @@ class ResnetBlockDDPMpp(nn.Module):
             h = conv0(hq, prequant_scale=s0)
         else:
             h = conv0(gn0(x))
+        h = checkpoint_name(h, "ncsnpp_conv_out")
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
@@ -427,6 +429,7 @@ class ResnetBlockDDPMpp(nn.Module):
             h = gn1(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = conv1(h)
+        h = checkpoint_name(h, "ncsnpp_conv_out")
         if in_ch != out_ch:
             if self.conv_shortcut:
                 x = conv3x3(out_ch, name="Conv_2", dtype=self.dtype)(x)
@@ -506,6 +509,10 @@ class ResnetBlockBigGANpp(nn.Module):
         conv0 = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
                         quant="int8" if q0 else "none")
         h = conv0(h, prequant_scale=s0) if q0 else conv0(h)
+        # identity tag for the selective remat policy (ncsnpp.py remat_policy
+        # 'conv_outs'): backward saves conv outputs, recomputes only the
+        # cheap normalization/activation/FIR passes
+        h = checkpoint_name(h, "ncsnpp_conv_out")
         if temb is not None:
             h += nn.Dense(
                 out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros,
@@ -526,6 +533,7 @@ class ResnetBlockBigGANpp(nn.Module):
             h = gn1(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = conv1(h)
+        h = checkpoint_name(h, "ncsnpp_conv_out")
 
         if in_ch != out_ch or self.up or self.down:
             # 1x1 skip conv stays bf16: memory-bound, and its input is the

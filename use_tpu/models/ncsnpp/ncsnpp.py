@@ -72,6 +72,10 @@ class NCSNppConfig:
     # ncsnpplarge training step (512x512 specs, batch 2 x accum 4) in one
     # v5e's 16 GB HBM — without it the f32 backward OOMs; costs one extra
     # forward worth of FLOPs during training, nothing at inference.
+    remat_policy: str = "full"  # 'full': save only block inputs, recompute
+    # everything; 'conv_outs': additionally save the tagged convolution
+    # outputs (jax.checkpoint_policies.save_only_these_names) so the
+    # backward recomputes only the cheap GN/act/FIR passes, not the convs.
 
     def resolve(self) -> "NCSNppConfig":
         """Apply the discriminative-mode overrides (ncsnpp.py:86-92)."""
@@ -131,7 +135,16 @@ class NCSNpp(nn.Module):
             # shipping recipes) and still differentiates through it. In
             # forward-only (sampler) traces the checkpoint wrapper is a
             # plain call that XLA inlines — no fusion impact.
-            resblock_cls = nn.remat(resblock_cls, static_argnums=(3,))
+            import jax
+
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("ncsnpp_conv_out")
+                if cfg.remat_policy == "conv_outs"
+                else None
+            )
+            resblock_cls = nn.remat(
+                resblock_cls, static_argnums=(3,), policy=policy
+            )
         if cfg.resblock_type == "biggan":
             ResnetBlock = functools.partial(
                 resblock_cls,
