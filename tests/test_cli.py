@@ -89,3 +89,44 @@ def test_cli_sweep_smoke(tmp_path, wav_folder, monkeypatch):
     assert payload["metric"] == "val/loss_Score"
     assert np.isfinite(payload["value"])
     assert "train.lr" in payload["params"]
+
+
+def test_tpe_proposer_converges():
+    """TPE sampler (the Optuna TPESampler analog): on a synthetic quadratic
+    objective, adaptive proposals concentrate near the optimum vs the random
+    warmup, for uniform, loguniform and choice spaces."""
+    import random
+
+    from use_tpu.cli.sweep import tpe_propose
+
+    rng = random.Random(0)
+    # uniform space, minimum at x = 0.3
+    history = []
+    for _ in range(40):
+        x = tpe_propose("uniform(0,1)", history, rng)
+        history.append(((x - 0.3) ** 2, x))
+    warmup = [abs(v - 0.3) for _, v in history[:8]]
+    late = [abs(v - 0.3) for _, v in history[-8:]]
+    assert sum(late) / 8 < sum(warmup) / 8
+
+    # loguniform space, minimum at 1e-3
+    rng = random.Random(1)
+    history = []
+    for _ in range(40):
+        x = tpe_propose("loguniform(1e-5,1e-1)", history, rng)
+        history.append(((np.log10(x) + 3.0) ** 2, x))
+        assert 1e-5 <= x <= 1e-1
+    late = [abs(np.log10(v) + 3.0) for _, v in history[-8:]]
+    warmup = [abs(np.log10(v) + 3.0) for _, v in history[:8]]
+    assert sum(late) < sum(warmup)
+
+    # categorical: 'b' is best and should dominate late proposals
+    rng = random.Random(2)
+    history = []
+    losses = {"a": 1.0, "b": 0.1, "c": 0.7}
+    for _ in range(40):
+        v = tpe_propose("choice(a,b,c)", history, rng)
+        history.append((losses[v] + rng.uniform(0, 0.05), v))
+    late = [v for _, v in history[-12:]]
+    assert late.count("b") > late.count("a")
+    assert late.count("b") > late.count("c")
