@@ -114,6 +114,24 @@ def test_config_system():
     assert dbg["model"]["sde"] == "ouve"  # inherited
     ov = parse_overrides(["a.b=1e-3", "a.c=[1,2]", "d=true"])
     assert ov == {"a": {"b": 1e-3, "c": [1, 2]}, "d": True}
+    # the shipping recipes must carry the remat settings that make their
+    # training steps fit one v5e (BASELINE.md training section)
+    assert cfg["model"]["backbone_kwargs"] == {
+        "remat": True, "remat_policy": "conv_outs"
+    }
+    lsgan = load_config("LSGAN")
+    assert lsgan["model"]["generator"]["backbone_kwargs"] == {
+        "remat": True, "remat_policy": "conv_outs"
+    }
+
+
+def test_shipping_config_builds_remat_model():
+    """_build_model threads backbone_kwargs into the backbone config."""
+    from use_tpu.cli.main import _build_model
+
+    model = _build_model(load_config("SGMSE_Large"))
+    assert model.score_net.cfg.remat is True
+    assert model.score_net.cfg.remat_policy == "conv_outs"
 
 
 @pytest.fixture
