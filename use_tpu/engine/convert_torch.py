@@ -182,6 +182,61 @@ def convert_multi_spec_discriminator_state_dict(
     }
 
 
+def convert_scale_discriminator_state_dict(
+    state_dict: Mapping[str, Any], n_downsample: int = 5
+) -> Dict[str, Any]:
+    """Torch ScaleDiscriminator (hifigan.py:303-405) -> use_tpu params.
+
+    Reference walks convs.{0..n+1}.0 (Sequential-wrapped, weight-normed)
+    then conv_post; ours names them conv0 / conv{1..n} / conv_pre_post /
+    conv_post (use_tpu/models/gan/msd.py)."""
+    folded = fold_weight_norm(state_dict)
+    name_map = {"0": "conv0", str(n_downsample + 1): "conv_pre_post"}
+    for i in range(n_downsample):
+        name_map[str(i + 1)] = f"conv{i + 1}"
+    params: Dict[str, Any] = {}
+    for key, arr in folded.items():
+        parts = key.split(".")
+        if parts[0] == "convs":
+            name = name_map[parts[1]]
+        elif parts[0] == "conv_post":
+            name = "conv_post"
+        else:
+            raise KeyError(key)
+        leaf, arr = convert_tensor_1d(parts[-1], arr)
+        _assign(params, [name, leaf], arr)
+    return params
+
+
+def convert_multi_scale_discriminator_state_dict(
+    state_dict: Mapping[str, Any], scales: int = 3
+) -> Dict[str, Any]:
+    """Torch MultiScaleDiscriminator w/ DWT pooling (hifigan.py:408-477)
+    -> use_tpu MultiScaleDiscriminator params (scale{i} + aux_conv{k})."""
+    by_disc: Dict[str, Dict[str, Any]] = {}
+    aux: Dict[str, Dict[str, Any]] = {}
+    for key, value in state_dict.items():
+        parts = key.split(".", 2)
+        if parts[0] == "discriminators":
+            by_disc.setdefault(parts[1], {})[parts[2]] = value
+        elif parts[0] == "aux_convs":
+            aux.setdefault(parts[1], {})[parts[2]] = value
+        else:
+            raise KeyError(key)
+    params: Dict[str, Any] = {
+        f"scale{i}": convert_scale_discriminator_state_dict(by_disc[str(i)])
+        for i in range(scales)
+    }
+    for k, sd in aux.items():
+        folded = fold_weight_norm(sd)
+        sub: Dict[str, Any] = {}
+        for leaf_key, arr in folded.items():
+            leaf, arr = convert_tensor_1d(leaf_key, arr)
+            _assign(sub, [leaf], arr)
+        params[f"aux_conv{k}"] = sub
+    return params
+
+
 def convert_convtasnet_state_dict(
     state_dict: Mapping[str, Any], layer: int = 8, stack: int = 3
 ) -> Dict[str, Any]:
@@ -538,3 +593,52 @@ def load_lightning_checkpoint(path: str, prefix: str) -> Dict[str, np.ndarray]:
             f"{sorted({k.split('.')[0] for k in state})}"
         )
     return out
+
+
+def convert_hifigan_generator_state_dict(
+    state_dict: Mapping[str, Any], num_kernels: int = 3
+) -> Dict[str, Any]:
+    """Torch HiFi-GAN Generator (hifigan.py:24-199, causal weight-normed
+    convs from layers.py:53-166) -> use_tpu HifiganGenerator params.
+
+    Key map: conv_pre.conv1d -> conv_pre/Conv_0;
+    transpose_upsamples.{i}.1.deconv -> transpose_up{i}/ConvTranspose_0
+    (torch deconv weight [I, O, K] -> flax kernel [K, I, O] with the
+    spatial axis FLIPPED — flax ConvTranspose correlates where torch's
+    transposed conv convolves); repeat_upsamples.{i}.2.conv1d ->
+    repeat_up{i}/Conv_0; conv_blocks.{i*nk+j}.convs{1,2}.{k}.conv1d ->
+    resblock{i}_{j}/conv{1,2}_{k}/Conv_0; conv_post.conv1d ->
+    conv_post/Conv_0; source_module.ffn / source_downs.{i} for NSF.
+    """
+    folded = fold_weight_norm(state_dict)
+    params: Dict[str, Any] = {}
+    for key, arr in folded.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "conv_pre":
+            path = ["conv_pre", "Conv_0"]
+        elif parts[0] == "transpose_upsamples":
+            path = [f"transpose_up{parts[1]}", "ConvTranspose_0"]
+            if leaf == "weight":
+                arr = np.transpose(arr[:, :, ::-1], (2, 0, 1))
+                _assign(params, path + ["kernel"], arr)
+                continue
+        elif parts[0] == "repeat_upsamples":
+            path = [f"repeat_up{parts[1]}", "Conv_0"]
+        elif parts[0] == "conv_blocks":
+            idx = int(parts[1])
+            i, j = divmod(idx, num_kernels)
+            which = parts[2][-1]  # convs1 / convs2
+            k = parts[3]
+            path = [f"resblock{i}_{j}", f"conv{which}_{k}", "Conv_0"]
+        elif parts[0] == "conv_post":
+            path = ["conv_post", "Conv_0"]
+        elif parts[0] == "source_module":
+            path = ["source_module", "ffn"]
+        elif parts[0] == "source_downs":
+            path = [f"source_down{parts[1]}"]
+        else:
+            raise KeyError(key)
+        leaf, arr = convert_tensor_1d(leaf, arr)
+        _assign(params, path + [leaf], arr)
+    return params

@@ -191,7 +191,9 @@ class HifiganGenerator(nn.Module):
                 )(h)
             h = xs / num_kernels
 
-        h = _lrelu(h)
+        # the reference's FINAL activation is F.leaky_relu's default slope
+        # 0.01, unlike the 0.1 used everywhere else (hifigan.py:178)
+        h = jax.nn.leaky_relu(h, negative_slope=0.01)
         if self.use_conv_post:
             h = Conv1dC(self.out_channels, self.kernel_size, 1, self.causal,
                         name="conv_post")(h)
