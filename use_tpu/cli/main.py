@@ -230,11 +230,12 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
     icfg = cfg.get("infer", {})
 
     def run_sgmse(m, p, batch, rng, out_key):
+        extra = {k: icfg[k] for k in ("window", "tol") if k in icfg}
         out = m.sample(
             p, batch, rng,
             sampler_type=icfg.get("sampler_type", "pc"), N=icfg.get("N", 50),
             corrector_steps=icfg.get("corrector_steps", 1),
-            snr=icfg.get("snr", 0.5),
+            snr=icfg.get("snr", 0.5), **extra,
         )
         return out, out[out_key]
 

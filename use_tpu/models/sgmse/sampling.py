@@ -171,6 +171,122 @@ def get_pc_sampler(
 
 
 # ---------------------------------------------------------------------------
+# Parallel (Picard / ParaDiGMS-style) PC sampler
+# ---------------------------------------------------------------------------
+
+def get_parallel_pc_sampler(
+    predictor_name: str,
+    corrector_name: str,
+    sde,
+    score_fn: ScoreFn,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    window: int = 8,
+    tol: float = 0.1,
+    constrain: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    **_ignored,
+):
+    """Sliding-window Picard parallelization of the reverse-SDE trajectory.
+
+    The sequential PC sampler (reference sampling/__init__.py:59-73) is a
+    triangular recurrence x_{i+1} = m(x_i, t_i) + g(x_i, t_i) * z_{i+1}. This
+    sampler instead keeps a window of W trajectory points live and performs
+    Jacobi/Picard sweeps: every sweep evaluates the score network at all W
+    points IN ONE BATCHED CALL (batch W*B), then slides the window past the
+    leading points whose update fell below ``tol`` times the std of the
+    noise injected at that step (the ParaDiGMS convergence rule,
+    arXiv:2305.16317: an update smaller than the fresh per-step noise is
+    statistically indistinguishable from it).
+    Because the window-front point is always computed from a converged input,
+    the window advances >=1 per sweep, so the sweep count is <= N and the
+    result converges to the exact sequential trajectory as tol -> 0 (with the
+    per-position fold_in noise convention below).
+
+    This is the TPU-native single-utterance latency scaler the reference has
+    no analog of: the W-point batch dimension shards over the device mesh
+    (pass ``constrain`` = a with_sharding_constraint over the flattened
+    window*batch axis), so D chips cut wall-clock per sweep by ~D while ICI
+    carries only the halo of activations. On one chip it trades extra FLOPs
+    (sweeps*W network evals vs N) for nothing and is not the default.
+
+    Sampling noise is drawn per trajectory position via
+    ``fold_in(rng, position)`` so noise is identical no matter which sweep
+    (re)computes a point. Returns ``(sample, nfe)`` with nfe = sweeps * W
+    (total network evaluations, a traced scalar).
+    """
+    if corrector_name != "none":
+        raise ValueError(
+            "parallel_pc supports corrector='none' only (the shipping "
+            "SGMSE config); got %r" % corrector_name
+        )
+    predictor = PredictorRegistry.get_by_name(predictor_name)
+
+    N = sde.N
+    B = y.shape[0]
+    rest = tuple(y.shape[1:])
+    W = int(min(window, N))
+    red_axes = tuple(range(1, y.ndim + 1))  # per-slot mean over [B, *rest]
+
+    ts = jnp.linspace(sde.T, eps, N)
+    ts_pad = jnp.concatenate([ts, jnp.full((W,), eps, ts.dtype)])  # [N+W]
+
+    y_tiled = jnp.tile(y, (W,) + (1,) * (y.ndim - 1))  # [W*B, *rest]
+
+    def sampler(rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        rng_z, rng0 = jax.random.split(rng)
+
+        def noise_at(p):
+            return crandn(jax.random.fold_in(rng_z, p), (B,) + rest, y.dtype)
+
+        std_T = sde._std(jnp.full((B,), sde.T, jnp.float32))
+        x0 = y + batch_broadcast(std_T, y) * noise_at(jnp.zeros((), jnp.int32))
+        X = jnp.broadcast_to(x0, (N + W + 1, B) + rest).astype(y.dtype)
+
+        def cond(carry):
+            _, c, _ = carry
+            return c < N
+
+        def body(carry):
+            X, c, sweeps = carry
+            xs = jax.lax.dynamic_slice_in_dim(X, c, W, axis=0)
+            ts_w = jax.lax.dynamic_slice_in_dim(ts_pad, c, W)
+            xs_flat = xs.reshape((W * B,) + rest)
+            if constrain is not None:
+                xs_flat = constrain(xs_flat)
+            ts_flat = jnp.repeat(ts_w, B)
+            m_flat, g_flat = predictor(sde, score_fn, xs_flat, ts_flat, y_tiled)
+            m = m_flat.reshape((W, B) + rest)
+            g = jnp.broadcast_to(g_flat, m_flat.shape).reshape((W, B) + rest)
+
+            positions = c + 1 + jnp.arange(W)  # [W]
+            zs = jax.vmap(noise_at)(positions)  # [W, B, *rest]
+            if denoise:  # final transition keeps the mean (denoised) value
+                nmask = jnp.where(positions == N, 0.0, 1.0)
+                zs = zs * nmask.reshape((W,) + (1,) * (y.ndim))
+            x_new = m + g * zs
+
+            old = jax.lax.dynamic_slice_in_dim(X, c + 1, W, axis=0)
+            err = jnp.mean(jnp.abs(x_new - old) ** 2, axis=red_axes)  # [W]
+            # per-element variance of the noise injected at this transition
+            gsq = jnp.mean(jnp.abs(g) ** 2, axis=red_axes)  # [W]
+            ok = err <= tol * tol * gsq
+            ok = ok | (positions > N)  # padding slots past the horizon
+            ok = ok.at[0].set(True)  # window front is exact by induction
+            adv = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+
+            X = jax.lax.dynamic_update_slice_in_dim(X, x_new, c + 1, axis=0)
+            return X, jnp.minimum(c + adv, N), sweeps + 1
+
+        X, _, sweeps = jax.lax.while_loop(
+            cond, body, (X, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        )
+        return X[N], sweeps * W
+
+    return sampler
+
+
+# ---------------------------------------------------------------------------
 # Probability-flow ODE sampler (fixed-step RK4 scan; jittable)
 # ---------------------------------------------------------------------------
 

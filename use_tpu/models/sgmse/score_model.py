@@ -202,6 +202,7 @@ class ScoreModel:
         N: int = 50,
         corrector_steps: int = 1,
         snr: float = 0.5,
+        **sampler_kwargs,
     ) -> Tuple[jnp.ndarray, int]:
         """Run the reverse process on padded spectra (jit-friendly core)."""
         score_fn = lambda xt, t: self.forward_score(params, xt, t, conditioning)
@@ -210,6 +211,24 @@ class ScoreModel:
             sampler = sampling.get_pc_sampler(
                 self.predictor, self.corrector, sde, score_fn, y_spec,
                 eps=self.t_eps, snr=snr, corrector_steps=corrector_steps,
+            )
+        elif sampler_type == "parallel_pc":
+            # The window axis multiplies the batch fed to the score network;
+            # conditioning must tile accordingly (window-major, matching the
+            # [W, B] -> [W*B] reshape inside the sampler).
+            base = y_spec.shape[0]
+
+            def score_fn_tiled(xt, t):
+                k = xt.shape[0] // base
+                cond = [
+                    jnp.tile(c, (k,) + (1,) * (c.ndim - 1)) if k > 1 else c
+                    for c in conditioning
+                ]
+                return self.forward_score(params, xt, t, cond)
+
+            sampler = sampling.get_parallel_pc_sampler(
+                self.predictor, self.corrector, sde, score_fn_tiled, y_spec,
+                eps=self.t_eps, **sampler_kwargs,
             )
         elif sampler_type == "ode":
             sampler = sampling.get_ode_sampler(
@@ -228,6 +247,7 @@ class ScoreModel:
         N: int = 50,
         corrector_steps: int = 1,
         snr: float = 0.5,
+        **sampler_kwargs,
     ) -> Batch:
         """Batch-dict enhancement (model_wrapper.py:262-329).
 
@@ -247,7 +267,8 @@ class ScoreModel:
         sde_in = self._select_sde_input(y_spec, y_denoised)
 
         sample, _nfe = self.sample_spec(
-            params, sde_in, rng, conditioning, sampler_type, N, corrector_steps, snr
+            params, sde_in, rng, conditioning, sampler_type, N, corrector_steps,
+            snr, **sampler_kwargs,
         )
         enhanced = self._inv_spec(sample, t_orig)
         out = dict(batch)
