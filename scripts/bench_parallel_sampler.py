@@ -90,7 +90,9 @@ def main() -> None:
             )
 
         t_ppc, nfe = timed(run_ppc, jax.random.PRNGKey(1))
-        sweeps = nfe // w
+        # the sampler clamps W = min(window, N) internally; divide by the
+        # effective window or sweeps would be understated for w > N
+        sweeps = nfe // min(w, args.n)
         results[f"parallel_w{w}"] = {
             "latency_s": round(t_ppc, 3),
             "sweeps": sweeps,

@@ -167,6 +167,40 @@ def test_loader_multiprocess(tiny_corpus):
     assert b["clean"].shape[0] == 2
 
 
+class _FlakyDataset:
+    """Raises on one index — the worker-crash drill."""
+
+    def __init__(self, n=8, bad=5):
+        self.n, self.bad = n, bad
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        if idx == self.bad:
+            raise ValueError(f"synthetic failure at {idx}")
+        return {"clean": np.ones(10, np.float32) * idx,
+                "perturbed": np.ones(10, np.float32)}
+
+
+def test_loader_worker_exception_propagates_cleanly():
+    """A worker exception mid-epoch surfaces as a RuntimeError naming the
+    failed index — no hang, workers torn down (VERDICT r2 item 7). The
+    spawned workers start clean (no fork-after-JAX deadlock risk)."""
+    dl = DataLoader(
+        _FlakyDataset(), batch_size=2, num_workers=2,
+        collate_fn=lambda xs: xs,
+    )
+    with pytest.raises(RuntimeError, match="index 5"):
+        list(dl)
+    # the loader remains usable for the next epoch with a healthy dataset
+    dl2 = DataLoader(
+        _FlakyDataset(bad=10**9), batch_size=2, num_workers=2,
+        collate_fn=lambda xs: xs,
+    )
+    assert len(list(dl2)) == 4
+
+
 def test_vad_merge_trims_silence():
     x = np.concatenate([np.zeros(8000), _tone(0.5), np.zeros(8000)]).astype(np.float32)
     merged = vad_merge(x)
@@ -184,3 +218,32 @@ def test_wav_io_roundtrip(tmp_path):
     write_wav(p, x, SR, subtype="pcm16")
     y, _ = read_wav(p)
     np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_datamodule_per_process_decorrelation(tiny_corpus):
+    """Hosts with different process_index synthesize DIFFERENT batches from
+    the same config/seed (reference seeds per rank,
+    comm_distort_simu_dataset.py:235-238; VERDICT r2 'missing #2')."""
+    from use_tpu.data.datamodule import DistortDataModule
+
+    cfg = DistortConfig(
+        clean_json_path=tiny_corpus["clean"],
+        noise_json_path=tiny_corpus["noise"],
+        speech_splice_seconds=1,
+        reverb_use_FRA=True,
+        codecs_prob=0, packet_loss_prob=0, spectral_time_freq_holes_prob=0,
+        colored_noise_prob=0, colored_noise_post_prob=0, lowpass_prob=0,
+        eq_perturb_prob=0, band_reject_prob=0, reverb_prob=0,
+    )
+
+    def first_batch(pi):
+        dm = DistortDataModule(
+            train_cfg=cfg, batch_size=2, num_workers=1, seed=7,
+            process_index=pi,
+        )
+        return next(iter(dm.train_dataloader()))
+
+    b0, b1 = first_batch(0), first_batch(1)
+    assert b0["perturbed"].shape[0] == b1["perturbed"].shape[0] == 2
+    n = min(b0["perturbed"].shape[1], b1["perturbed"].shape[1])
+    assert not np.allclose(b0["perturbed"][:, :n], b1["perturbed"][:, :n])

@@ -95,7 +95,9 @@ def test_parallel_pc_rejects_corrector():
 
 def test_parallel_pc_window_sharded_over_mesh():
     """The flattened window*batch axis shards over the 8-device CPU mesh —
-    the multi-chip single-utterance latency path."""
+    the multi-chip single-utterance latency path. The sharded run must be
+    numerically identical to the unsharded one (a sharding/layout bug in the
+    constrain path would otherwise pass unnoticed)."""
     sde, score_fn, y = _linear_setup(n_steps=10, batch=2)
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("data",))
@@ -109,6 +111,15 @@ def test_parallel_pc_window_sharded_over_mesh():
         got, nfe = jax.jit(sampler)(jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(got)))
     assert int(nfe) >= sde.N  # at least one eval per trajectory step
+
+    plain = sampling.get_parallel_pc_sampler(
+        "reverse_diffusion", "none", sde, score_fn, y, tol=0.1, window=4
+    )
+    want, nfe_plain = jax.jit(plain)(jax.random.PRNGKey(0))
+    assert int(nfe) == int(nfe_plain)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_score_model_parallel_pc_end_to_end():

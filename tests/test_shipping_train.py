@@ -1,0 +1,129 @@
+"""The shipping recipes actually train (VERDICT r2 item 1).
+
+One optimizer step for BOTH shipping YAMLs with their EXACT batch/accum
+numbers (SGMSE_Large: batch 2 x accum 4; LSGAN: batch 4 x accum 8) through
+the same engine code cmd_train calls — fit_sgmse / fit_lsgan — over the
+8-device CPU mesh, asserting the batch was sharded on the 'data' axis and
+the loss is finite. Only the backbone/STFT sizes are overridden (CLI-style
+dotted overrides); the recipe's batch/accum fields come straight from the
+YAML. Reference analog: configs/trainer/ddp.yaml:1-10 (DDP out of the box)
++ Lightning accumulate_grad_batches over successive loader batches.
+"""
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+import use_tpu.engine.loop as loop_mod
+from use_tpu.cli.main import _build_model
+from use_tpu.config.config import load_config
+from use_tpu.engine.loop import fit_lsgan, fit_sgmse
+
+
+class _SynthDM:
+    """In-memory stand-in for DistortDataModule: fixed-shape random wav
+    batches with the exact local batch size of the recipe."""
+
+    def __init__(self, batch: int, n_batches: int, length: int, seed: int = 0):
+        self.local_batch = batch
+        self.n_batches = n_batches
+        self.length = length
+        self.seed = seed
+
+    def _batches(self, seed, n):
+        rng = np.random.default_rng(seed)
+        for _ in range(n):
+            wav = 0.1 * rng.standard_normal(
+                (self.local_batch, self.length)
+            ).astype(np.float32)
+            yield {"clean": wav, "perturbed": wav + 0.01 * rng.standard_normal(
+                wav.shape).astype(np.float32)}
+
+    def train_dataloader(self):
+        return self._batches(self.seed, self.n_batches)
+
+    def val_dataloader(self):
+        return self._batches(self.seed + 1, 1)
+
+
+@pytest.fixture
+def spy_place_batch(monkeypatch):
+    seen = []
+    orig = loop_mod.place_batch
+
+    def spy(batch, mesh, leading_accum=False):
+        out = orig(batch, mesh, leading_accum)
+        seen.append((mesh, leading_accum,
+                     {k: v.sharding for k, v in out.items()}))
+        return out
+
+    monkeypatch.setattr(loop_mod, "place_batch", spy)
+    return seen
+
+
+def test_sgmse_large_recipe_one_step(spy_place_batch):
+    cfg = load_config("SGMSE_Large", [
+        # scale the backbone/STFT down for CPU; recipe numbers untouched
+        "model.backbone=ncsnpp",
+        "model.backbone_kwargs.nf=8",
+        "model.backbone_kwargs.ch_mult=[1,2]",
+        "model.backbone_kwargs.num_res_blocks=1",
+        "model.n_fft=126", "model.hop_length=32", "model.num_frames=32",
+    ])
+    # the exact shipping numbers (the r2 crash: batch 2 % accum 4 != 0)
+    assert cfg["data"]["batch_size"] == 2
+    assert cfg["train"]["accumulate_grad_batches"] == 4
+    model = _build_model(cfg)
+    dm = _SynthDM(batch=cfg["data"]["batch_size"], n_batches=4, length=1600)
+
+    result = fit_sgmse(
+        model, dm, lr=cfg["train"]["lr"],
+        weight_decay=cfg["train"]["weight_decay"],
+        grad_clip=cfg["train"]["grad_clip"],
+        accumulate_grad_batches=cfg["train"]["accumulate_grad_batches"],
+        scheduler=cfg["train"]["scheduler"], max_epochs=1, seed=0,
+    )
+    assert int(result.state.step) == 1  # 4 loader batches -> ONE optimizer step
+    assert np.isfinite(result.history[0]["train/loss_Score"])
+    assert np.isfinite(result.history[0]["val/loss_Score"])
+
+    # the train microbatch group was sharded over the mesh: batch 2 -> 2-way
+    # data parallelism on the 8-device CPU host
+    mesh, leading_accum, shardings = spy_place_batch[0]
+    assert mesh is not None and mesh.shape["data"] == 2
+    assert leading_accum
+    assert shardings["clean"].spec == P(None, "data")
+
+
+def test_lsgan_recipe_one_step(spy_place_batch):
+    cfg = load_config("LSGAN", [
+        "model.generator.backbone_kwargs.nf=8",
+        "model.generator.backbone_kwargs.ch_mult=[1,1]",
+        "model.generator.backbone_kwargs.num_res_blocks=1",
+        "model.generator.n_fft=126", "model.generator.hop_length=32",
+        "model.generator.num_frames=64",
+    ])
+    assert cfg["data"]["batch_size"] == 4
+    assert cfg["train"]["accumulate_grad_batches"] == 8
+    gan = _build_model(cfg)
+    dm = _SynthDM(batch=cfg["data"]["batch_size"], n_batches=8, length=2500)
+
+    result = fit_lsgan(
+        gan, dm, g_lr=cfg["train"]["g_lr"], d_lr=cfg["train"]["d_lr"],
+        weight_decay=cfg["train"]["weight_decay"],
+        accumulate_grad_batches=cfg["train"]["accumulate_grad_batches"],
+        scheduler=cfg["train"]["scheduler"], max_epochs=1, seed=0,
+    )
+    assert int(result.state.g.step) == 1  # 8 loader batches -> ONE G step
+    assert int(result.state.d.step) == 1
+    row = result.history[0]
+    assert np.isfinite(row["train/loss_G"]) and np.isfinite(row["train/loss_D"])
+    # real validation pass: val/loss_G is present, finite, and is what the
+    # checkpoint monitor consumes (VERDICT r2 items 4/5)
+    assert np.isfinite(row["val/loss_G"])
+
+    mesh, leading_accum, shardings = spy_place_batch[0]
+    assert mesh is not None and mesh.shape["data"] == 4
+    assert leading_accum
+    assert shardings["clean"].spec == P(None, "data")

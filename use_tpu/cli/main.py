@@ -28,6 +28,7 @@ _PREDICT_KEYS = {
     "predict.data_folder", "predict.target_folder", "predict.chain",
     "predict.second_experiment", "predict.second_ckpt",
 }
+_EVAL_KEYS = {"eval.rich", "eval.max_files"}
 
 
 def _split_args(argv: List[str]):
@@ -37,13 +38,20 @@ def _split_args(argv: List[str]):
     for a in argv:
         if a.startswith("experiment="):
             experiment = a.split("=", 1)[1]
-        elif a.startswith(("ckpt_path=", "ckpt.lenient=", "predict.", "out_dir=")):
+        elif a.startswith(
+            ("ckpt_path=", "ckpt.lenient=", "ckpt.use_ema=", "predict.",
+             "eval.", "out_dir=")
+        ):
             k, v = a.split("=", 1)
             if k.startswith("predict.") and k not in _PREDICT_KEYS:
                 raise SystemExit(
                     f"unknown key {k!r}; predict options are "
                     f"{sorted(_PREDICT_KEYS)} (sampler settings go under "
                     f"infer.*, e.g. infer.N=30)"
+                )
+            if k.startswith("eval.") and k not in _EVAL_KEYS:
+                raise SystemExit(
+                    f"unknown key {k!r}; eval options are {sorted(_EVAL_KEYS)}"
                 )
             extras[k] = v
         elif "=" in a:
@@ -92,7 +100,7 @@ def _build_datamodule(cfg: Dict):
     return DistortDataModule(
         train_cfg=dcfg, batch_size=batch_size, num_workers=num_workers,
         seed=cfg["train"].get("seed", 0), world_size=jax.process_count(),
-        overfit_items=overfit_items,
+        process_index=jax.process_index(), overfit_items=overfit_items,
     )
 
 
@@ -134,9 +142,58 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
     log.info(f"training done -> {out_dir}")
 
 
+def _is_manager_dir(path: str) -> bool:
+    """True for a CheckpointManager directory (numeric step subdirs)."""
+    return os.path.isdir(path) and any(
+        d.isdigit() for d in os.listdir(path)
+    )
+
+
+def _restore_train_state(ckpt_path: str, cfg, model):
+    """Restore a full training checkpoint (CheckpointManager layout) into a
+    TrainState / GANTrainState template built from the experiment config."""
+    import jax
+
+    from use_tpu.engine import optim
+    from use_tpu.engine.checkpoint import CheckpointManager
+    from use_tpu.engine.state import GANTrainState, TrainState
+
+    t = cfg["train"]
+    if cfg["task"] == "sgmse":
+        params = model.init_params(jax.random.PRNGKey(0))
+        tx = optim.adam(
+            t.get("lr", 5e-4), t.get("weight_decay", 1e-7),
+            grad_clip=t.get("grad_clip", 100.0), params_example=params,
+        )
+        template = TrainState.create(params, tx, ema_decay=t.get("ema_decay", 0.0))
+    else:
+        g_params, d_params = model.init_params(jax.random.PRNGKey(0))
+        g_tx = optim.adam(t.get("g_lr", 5e-4), t.get("weight_decay", 1e-7),
+                          params_example=g_params)
+        d_tx = optim.adam(t.get("d_lr", 2e-4), t.get("weight_decay", 1e-7),
+                          params_example=d_params)
+        template = GANTrainState(
+            g=TrainState.create(g_params, g_tx),
+            d=TrainState.create(d_params, d_tx),
+        )
+    mgr = CheckpointManager(ckpt_path)
+    state = mgr.restore(template=template)
+    mgr.close()
+    return state
+
+
 def _load_state_params(model, cfg, ckpt_path: Optional[str],
-                       lenient: bool = False):
-    """Init params; restore from an Orbax dir or convert a torch .ckpt.
+                       lenient: bool = False, use_ema: bool = False):
+    """Init params; restore from an Orbax dir (params-only or a full
+    CheckpointManager training directory) or convert a torch .ckpt.
+
+    Returns params for task=sgmse and (g_params, d_params_or_None) for
+    task=lsgan (d_params only available from training checkpoints).
+
+    use_ema=True (CLI: ckpt.use_ema=true) selects state.ema_params from a
+    training checkpoint — the legacy path's EMA-swap-at-eval semantics
+    (reference sgmse/model.py:123-139). Requires the run to have trained
+    with ema_decay>0.
 
     lenient=False (the predict/eval default) loads strictly — a
     shape-incompatible GAN checkpoint raises instead of silently degrading
@@ -145,6 +202,16 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str],
     (LSGAN_module.py:51-61); even then the load hard-fails if most leaves
     were skipped (engine/checkpoint.py::load_params)."""
     import jax
+
+    def pick(train_state):
+        if use_ema:
+            if train_state.ema_params is None:
+                raise SystemExit(
+                    "ckpt.use_ema=true but the checkpoint has no EMA params "
+                    "(train with train.ema_decay > 0)"
+                )
+            return train_state.ema_params
+        return train_state.params
 
     if cfg["task"] == "sgmse":
         params = model.init_params(jax.random.PRNGKey(0))
@@ -156,12 +223,17 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str],
 
                 sd = load_lightning_checkpoint(ckpt_path, prefix="Score.score_net.")
                 params = convert_ncsnpp_state_dict(sd)
+            elif _is_manager_dir(ckpt_path):
+                params = pick(_restore_train_state(ckpt_path, cfg, model))
             else:
                 from use_tpu.engine.checkpoint import load_params
 
                 params = load_params(ckpt_path, template=params)
+        elif use_ema:
+            raise SystemExit("ckpt.use_ema=true requires ckpt_path=")
         return params
     g_params, _ = model.init_params(jax.random.PRNGKey(0))
+    d_params = None
     if ckpt_path:
         if ckpt_path.endswith((".ckpt", ".pt", ".pth")):
             from use_tpu.engine.convert_torch import (
@@ -170,6 +242,9 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str],
 
             sd = load_lightning_checkpoint(ckpt_path, prefix="G.net.")
             g_params = convert_ncsnpp_state_dict(sd)
+        elif _is_manager_dir(ckpt_path):
+            state = _restore_train_state(ckpt_path, cfg, model)
+            g_params, d_params = pick(state.g), state.d.params
         else:
             from use_tpu.engine.checkpoint import load_params
 
@@ -180,7 +255,7 @@ def _load_state_params(model, cfg, ckpt_path: Optional[str],
             # analog of LSGAN_module.py:157-162).
             g_params = load_params(ckpt_path, template=g_params,
                                    lenient=lenient)
-    return g_params
+    return g_params, d_params
 
 
 def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -> None:
@@ -206,20 +281,23 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
     if not data_folder or not target_folder:
         raise SystemExit("predict.data_folder= and predict.target_folder= required")
 
+    lenient = extras.get("ckpt.lenient", "").lower() in ("1", "true")
+    use_ema = extras.get("ckpt.use_ema", "").lower() in ("1", "true")
+
+    def infer_params(m, c, path):
+        loaded = _load_state_params(m, c, path, lenient=lenient, use_ema=use_ema)
+        return loaded[0] if c["task"] == "lsgan" else loaded
+
     model = _build_model(cfg)
-    params = _load_state_params(
-        model, cfg, extras.get("ckpt_path"),
-        lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
-    )
+    params = infer_params(model, cfg, extras.get("ckpt_path"))
 
     chain = extras.get("predict.chain")
     second = second_params = second_cfg = None
     if chain:
         second_cfg = load_config(extras["predict.second_experiment"])
         second = _build_model(second_cfg)
-        second_params = _load_state_params(
-            second, second_cfg, extras.get("predict.second_ckpt"),
-            lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
+        second_params = infer_params(
+            second, second_cfg, extras.get("predict.second_ckpt")
         )
 
     dm = LoadWavDataModule(
@@ -271,35 +349,133 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
 
 
 def cmd_eval(experiment: str, overrides: List[str], extras: Dict[str, str]) -> None:
-    """Test-set loss evaluation (src/eval.py:38-95 analog)."""
-    import jax
+    """Test-set evaluation for ANY task (src/eval.py:38-95 — trainer.test
+    runs whichever module the config names):
 
-    from use_tpu.engine.train import make_sgmse_eval_step
-    from use_tpu.engine.state import TrainState
+      task=sgmse -> score-matching loss over the test distortion set
+      task=lsgan -> G forward + full criterion losses (test_step:130-137)
+
+    plus the rich metric harness (reference runs it per val epoch,
+    sgmse/util/inference.py:23-101): enhance eval.max_files test utterances,
+    compute SI-SDR/SI-SIR/SI-SAR/LSD (+PESQ/ESTOI when installed), and log
+    TB audio + spectrogram figures. Disable with eval.rich=false."""
+    import jax
+    import jax.numpy as jnp
+
     from use_tpu.engine import optim
+    from use_tpu.engine.evaluate import evaluate_model
+    from use_tpu.engine.state import GANTrainState, TrainState
+    from use_tpu.engine.train import make_gan_eval_step, make_sgmse_eval_step
 
     cfg = load_config(experiment, overrides)
-    if cfg["task"] != "sgmse":
-        raise SystemExit("eval currently supports task=sgmse (reference parity)")
     model = _build_model(cfg)
-    params = _load_state_params(
-        model, cfg, extras.get("ckpt_path"),
-        lenient=extras.get("ckpt.lenient", "").lower() in ("1", "true"),
+    lenient = extras.get("ckpt.lenient", "").lower() in ("1", "true")
+    use_ema = extras.get("ckpt.use_ema", "").lower() in ("1", "true")
+    loaded = _load_state_params(
+        model, cfg, extras.get("ckpt_path"), lenient=lenient, use_ema=use_ema
     )
-    tx = optim.adam(params_example=params)
-    state = TrainState.create(params, tx)
+    out_dir = extras.get(
+        "out_dir", os.path.join("runs", experiment + "_eval",
+                                time.strftime("%Y%m%d-%H%M%S"))
+    )
+    logger = MetricLogger(
+        csv_path=os.path.join(out_dir, "metrics.csv"),
+        tensorboard_dir=os.path.join(out_dir, "tb"),
+    )
     dm = _build_datamodule(cfg)
-    eval_fn = make_sgmse_eval_step(model)
     rng = jax.random.PRNGKey(0)
-    losses = []
-    for batch in dm.test_dataloader():
-        rng, sub = jax.random.split(rng)
-        dev = {k: v for k, v in batch.items() if hasattr(v, "dtype")}
-        import jax.numpy as jnp
 
-        dev = {k: jnp.asarray(v) for k, v in dev.items() if np.issubdtype(np.asarray(v).dtype, np.floating)}
-        losses.append(float(eval_fn(state, dev, sub)["loss_Score"]))
-    log.info(f"test/loss_Score = {float(np.mean(losses)):.5f} over {len(losses)} batches")
+    def floats(batch):
+        return {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if hasattr(v, "dtype")
+            and np.issubdtype(np.asarray(v).dtype, np.floating)
+        }
+
+    rows = []
+    if cfg["task"] == "sgmse":
+        params = loaded
+        state = TrainState.create(params, optim.adam(params_example=params))
+        eval_fn = make_sgmse_eval_step(model)
+        for batch in dm.test_dataloader():
+            rng, sub = jax.random.split(rng)
+            rows.append({"loss_Score": float(
+                eval_fn(state, floats(batch), sub)["loss_Score"]
+            )})
+    else:
+        g_params, d_params = loaded
+        if d_params is None:  # params-only ckpt: score vs a fresh-init D
+            _, d_params = model.init_params(jax.random.PRNGKey(0))
+            log.warning(
+                "no discriminator in checkpoint; adversarial/feature terms "
+                "use a fresh-init D (reconstruction losses are unaffected)"
+            )
+        g_tx = optim.adam(params_example=g_params)
+        d_tx = optim.adam(params_example=d_params)
+        state = GANTrainState(
+            g=TrainState.create(g_params, g_tx),
+            d=TrainState.create(d_params, d_tx),
+        )
+        eval_fn = make_gan_eval_step(model)
+        for batch in dm.test_dataloader():
+            rows.append(
+                {k: float(v) for k, v in eval_fn(state, floats(batch)).items()}
+            )
+
+    means = {
+        f"test/{k}": float(np.mean([r[k] for r in rows]))
+        for k in (rows[0] if rows else {})
+    }
+    logger.log({"step": 0, **means})
+
+    # -- rich metric harness (inference.py:23-101) -------------------------
+    if extras.get("eval.rich", "true").lower() not in ("0", "false"):
+        max_files = int(extras.get("eval.max_files", 4))
+        icfg = cfg.get("infer", {})
+        pairs = []
+        for batch in dm.test_dataloader():
+            for i in range(len(batch["clean"])):
+                pairs.append({
+                    "clean": np.asarray(batch["clean"][i]),
+                    "perturbed": np.asarray(batch["perturbed"][i]),
+                })
+                if len(pairs) >= max_files:
+                    break
+            if len(pairs) >= max_files:
+                break
+
+        if cfg["task"] == "sgmse":
+            def enhance_fn(noisy, sub):
+                out = model.sample(
+                    state.params, {"perturbed": noisy[None]}, sub,
+                    sampler_type=icfg.get("sampler_type", "pc"),
+                    N=icfg.get("N", 50),
+                    corrector_steps=icfg.get("corrector_steps", 1),
+                    snr=icfg.get("snr", 0.5),
+                )
+                return np.asarray(out["enhanced"])[0]
+        else:
+            def enhance_fn(noisy, sub):
+                out = model.enhance(state.g.params, {"perturbed": noisy[None]})
+                return np.asarray(out["fake"])[0]
+
+        result = evaluate_model(
+            enhance_fn, pairs, rng,
+            sr=cfg["data"].get("sampling_rate", 24000),
+        )
+        logger.log({"step": 0, **{f"test/{k}": v
+                                  for k, v in result["metrics"].items()}})
+        sr = cfg["data"].get("sampling_rate", 24000)
+        for i, fig in enumerate(result["figures"]):
+            logger.log_figure(f"eval/example_{i}", fig, step=0)
+        for i, clips in enumerate(result["audio"]):
+            for name, wav in clips.items():
+                logger.log_audio(f"eval/{name}_{i}", wav, sr, step=0)
+    logger.close()
+    log.info(
+        "eval done: " + " ".join(f"{k}={v:.5f}" for k, v in means.items())
+        + f" over {len(rows)} batches -> {out_dir}"
+    )
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -32,6 +32,10 @@ class DistortDataModule:
     num_workers: int = 4
     seed: int = 0
     world_size: int = 1
+    # per-host data decorrelation: the synthesis seeds mix in the process
+    # index so multi-host training never replays identical batches across
+    # hosts (reference seeds per rank, comm_distort_simu_dataset.py:235-238)
+    process_index: int = 0
     # debug: restrict training to the first N synthesized items and recycle
     # them every epoch (configs/debug/overfit.yaml analog)
     overfit_items: Optional[int] = None
@@ -46,6 +50,7 @@ class DistortDataModule:
                 self.batch_size, self.world_size,
             )
         self.local_batch = self.batch_size // max(self.world_size, 1)
+        self._seed_base = self.seed + 1_000_003 * self.process_index
         self._train = self._valid = self._test = None
 
     def train_dataloader(self) -> DataLoader:
@@ -57,7 +62,7 @@ class DistortDataModule:
         return DataLoader(
             self._train, self.local_batch,
             shuffle=not self.overfit_items, num_workers=self.num_workers,
-            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self.seed,
+            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self._seed_base,
         )
 
     def val_dataloader(self) -> DataLoader:
@@ -65,7 +70,7 @@ class DistortDataModule:
             self._valid = DistortDataset(self.valid_cfg)
         return DataLoader(
             self._valid, self.local_batch, shuffle=False, num_workers=self.num_workers,
-            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self.seed + 1,
+            collate_fn=pad_to_longest_monaural, drop_last=True, seed=self._seed_base + 1,
         )
 
     def test_dataloader(self) -> DataLoader:
@@ -73,7 +78,7 @@ class DistortDataModule:
             self._test = DistortDataset(self.test_cfg)
         return DataLoader(
             self._test, self.local_batch, shuffle=False, num_workers=self.num_workers,
-            collate_fn=pad_to_longest_monaural, drop_last=False, seed=self.seed + 2,
+            collate_fn=pad_to_longest_monaural, drop_last=False, seed=self._seed_base + 2,
         )
 
 

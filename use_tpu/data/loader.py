@@ -47,6 +47,7 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        mp_context: str = "spawn",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = max(prefetch, 1)
+        # spawn (not fork): the parent has usually initialized JAX by the
+        # time the first epoch starts, and forking a multithreaded JAX
+        # process can deadlock the child. Spawned workers start clean and
+        # import the dataset module once; they are long-lived, so the
+        # startup cost amortizes over the epoch.
+        self.mp_context = mp_context
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -83,7 +90,7 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[i] for i in batch])
             return
 
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(self.mp_context)
         index_q: mp.Queue = ctx.Queue()
         result_q: mp.Queue = ctx.Queue(maxsize=self.prefetch * self.batch_size * 2)
         workers = [

@@ -22,7 +22,13 @@ Metrics = Dict[str, jnp.ndarray]
 
 
 def _accum_grads(loss_fn, params, batch: Batch, rng, accum: int):
-    """Sum grads over the leading accumulation axis of every batch leaf."""
+    """Mean grads over the leading accumulation axis of every batch leaf.
+
+    Lightning scales each microbatch loss by 1/accumulate_grad_batches before
+    backward, so the effective gradient is the MEAN over the accumulated
+    loader batches — matched here (grads summed in the scan, divided once).
+    (The GAN manual-optimization loop sums raw manual_backward grads instead;
+    see make_gan_train_step.)"""
     if accum <= 1:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng
@@ -45,6 +51,7 @@ def _accum_grads(loss_fn, params, batch: Batch, rng, accum: int):
         micro, (zero, jnp.zeros(())), (batch, rngs)
     )
     aux = jax.tree.map(lambda a: a[-1], auxs)
+    grads = jax.tree.map(lambda g: g / accum, grads)
     return loss_sum / accum, aux, grads
 
 
@@ -75,6 +82,23 @@ def make_sgmse_eval_step(model) -> Callable[[TrainState, Batch, jax.Array], Metr
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         loss = model.train_loss(state.params, batch, rng)
         return {"loss_Score": loss}
+
+    return jax.jit(step)
+
+
+def make_gan_eval_step(gan) -> Callable[[GANTrainState, Batch], Metrics]:
+    """Validation/test step for the GAN task: G forward in eval mode (the
+    pad-to-%64 path, no random crop — Lightning runs validation with
+    training=False) + the full G criterion against the current D, no
+    optimizer step (reference LSGAN_module.validation_step:121-128 /
+    test_step:130-137). Returns every loss_* the criterion logs."""
+
+    def step(state: GANTrainState, batch: Batch):
+        b = gan.enhance(state.g.params, batch)
+        loss, logs = gan.g_loss(state.d.params, b)
+        out = {"loss_G": loss}
+        out.update(logs)
+        return out
 
     return jax.jit(step)
 

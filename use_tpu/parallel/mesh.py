@@ -10,12 +10,17 @@ explicit communication code.
 """
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from use_tpu.utils.logging import ranked_logger
+
+_log = ranked_logger()
 
 
 def init_distributed() -> None:
@@ -50,6 +55,31 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def default_mesh(
+    global_batch: int,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh for the product training path (the DDP-out-of-the-box analog of
+    reference configs/trainer/ddp.yaml:1-10): the data axis is the largest
+    device count that divides the global per-step batch, so
+    ``python -m use_tpu.cli.main train`` shards over every usable chip with
+    no extra flags. Devices beyond data*model stay idle (with a warning) —
+    exactly like launching the reference with more GPUs than the batch can
+    split over."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    usable = n // model
+    data = math.gcd(max(int(global_batch), 1), max(usable, 1))
+    if data * model < n:
+        _log.warning(
+            "mesh uses %d of %d devices (global batch %d is not divisible "
+            "by more); raise data.batch_size to use the full slice",
+            data * model, n, global_batch,
+        )
+    return make_mesh(data=data, model=model, devices=devices[: data * model])
+
+
 def batch_sharding(mesh: Mesh, leading_accum: bool = False) -> NamedSharding:
     """Sharding for a [B, ...] (or [k, B, ...] with accumulation) batch."""
     spec = P(None, "data") if leading_accum else P("data")
@@ -66,14 +96,30 @@ def shard_batch(batch, mesh: Mesh, leading_accum: bool = False):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def local_batch_to_global(batch, mesh: Mesh):
+def local_batch_to_global(batch, mesh: Mesh, leading_accum: bool = False):
     """Per-host local batch -> global sharded arrays (multi-host input).
 
     Counterpart of Lightning's per-rank DataLoader + DDP batch split
     (distort_datamodule.py:666-672): each host loads its shard; this stitches
-    them into one global jax.Array.
+    them into one global jax.Array. With leading_accum the leaves carry a
+    leading [accum, B_local, ...] axis and only the batch axis is sharded.
     """
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, leading_accum)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
     )
+
+
+def place_batch(batch, mesh: Optional[Mesh], leading_accum: bool = False):
+    """Host batch dict -> device arrays sharded for training on `mesh`.
+
+    The single entry point the engine uses per step: multi-host runs stitch
+    per-host shards into global arrays, single-host runs device_put with the
+    data axis sharded, mesh=None is the plain single-device path."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, batch)
+    if jax.process_count() > 1:
+        return local_batch_to_global(batch, mesh, leading_accum)
+    return shard_batch(batch, mesh, leading_accum)

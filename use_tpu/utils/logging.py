@@ -116,13 +116,15 @@ class MetricLogger:
         )
         self._log.info(msg)
         if self.csv_path:
+            keys = list(row.keys())
             new = not os.path.exists(self.csv_path)
             os.makedirs(os.path.dirname(os.path.abspath(self.csv_path)), exist_ok=True)
             with open(self.csv_path, "a", newline="") as f:
-                writer = csv.DictWriter(f, fieldnames=list(row.keys()))
-                if new:
-                    writer.writeheader()
+                writer = csv.DictWriter(f, fieldnames=keys)
+                if new or keys != self._csv_keys:
+                    writer.writeheader()  # new section when the schema changes
                 writer.writerow(row)
+            self._csv_keys = keys
         step = int(row.get("epoch", row.get("step", 0)))
         scalars = {k: v for k, v in row.items() if isinstance(v, (int, float))}
         if self._tb is not None:
@@ -143,6 +145,32 @@ class MetricLogger:
         if self._aim is not None:
             for k, v in scalars.items():
                 self._aim.track(v, name=k, step=step)
+
+    def log_figure(self, tag: str, fig, step: int = 0) -> None:
+        """Log a matplotlib figure (reference logs spectrogram figures to TB
+        each val epoch, sgmse/model.py:221-255). Graceful no-op without TB."""
+        if self._tb is not None:
+            try:
+                self._tb.add_figure(tag, fig, global_step=step)
+            except Exception:
+                self._log.warning("tb add_figure failed for %s", tag)
+        try:  # free the figure either way
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception:
+            pass
+
+    def log_audio(self, tag: str, wav, sr: int, step: int = 0) -> None:
+        """Log an audio clip to TB (sgmse/model.py:221-233 analog)."""
+        if self._tb is not None:
+            import numpy as np
+
+            try:
+                w = np.asarray(wav, dtype=np.float32).reshape(1, -1)
+                self._tb.add_audio(tag, w, global_step=step, sample_rate=sr)
+            except Exception:
+                self._log.warning("tb add_audio failed for %s", tag)
 
     def close(self):
         if self._tb is not None:
