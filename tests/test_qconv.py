@@ -114,3 +114,26 @@ def test_ncsnpp_int8_param_tree_and_deviation():
     oq = net_q.apply({"params": p}, x, t)
     rel = float(jnp.linalg.norm(of - oq) / jnp.linalg.norm(of))
     assert rel < 0.10, rel
+
+
+def test_ncsnpp_int8_pallas_param_tree_and_deviation():
+    """quant='int8_pallas' (Pallas fused operand-read quantize) shares the
+    param tree with the fp32 backbone and stays close on a random init —
+    interpret mode on CPU, the same kernel code that runs on TPU."""
+    from use_tpu.models import BackboneRegistry
+
+    net_f = BackboneRegistry.get_by_name("ncsnpp6M")()
+    net_q = BackboneRegistry.get_by_name("ncsnpp6M")(
+        quant="int8_pallas", quant_min_channels=1
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(0.3 * rng.standard_normal((1, 64, 64, 4)), jnp.float32)
+    t = jnp.full((1,), 0.5)
+    p = net_f.init(jax.random.PRNGKey(0), x, t)["params"]
+    pq = net_q.init(jax.random.PRNGKey(0), x, t)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(pq)
+
+    of = net_f.apply({"params": p}, x, t)
+    oq = net_q.apply({"params": p}, x, t)
+    rel = float(jnp.linalg.norm(of - oq) / jnp.linalg.norm(of))
+    assert rel < 0.10, rel

@@ -121,6 +121,34 @@ def conv1x1(
     )
 
 
+class PallasQConv3x3(nn.Module):
+    """3x3 conv with the GroupNorm apply + SiLU + int8 quantize fused into
+    the Pallas operand read (ops/pallas_qconv.py::qconv3x3_fused).
+
+    Param tree matches ``nn.Conv`` ('kernel' HWIO + 'bias') so bf16 and
+    int8_pallas serving share checkpoints unchanged. Consumes the folded
+    scale/shift/u from ``GroupNormAct(quant='fold')`` — the activation is
+    hard-wired to SiLU (the NCSN++ nonlinearity); serving-only."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gn_scale, gn_shift, u):
+        from use_tpu.ops.pallas_qconv import qconv3x3_fused
+
+        kernel = self.param(
+            "kernel", default_init(self.init_scale),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return qconv3x3_fused(
+            x, kernel, u, gn_scale=gn_scale, gn_shift=gn_shift, act=True,
+            bias=bias, out_dtype=self.dtype,
+        )
+
+
 def group_norm(channels: int, name: Optional[str] = None) -> nn.GroupNorm:
     """GroupNorm(min(C//4, 32), eps=1e-6) as used across NCSN++."""
     return nn.GroupNorm(
@@ -159,7 +187,7 @@ class GroupNormAct(nn.Module):
     # beta_c is bounded by |beta_c| + k*|gamma_c| for |xhat| <= k sigma;
     # s = max_c(|beta_c| + k|gamma_c|)/127 clips only >k-sigma outliers
     # (k=8 default). The activation (|silu(y)| <= |y|) preserves the bound.
-    quant: str = "none"  # 'none' | 'out' | 'scale'
+    quant: str = "none"  # 'none' | 'out' | 'scale' | 'fold'
     quant_k: float = 6.0
 
     @nn.compact
@@ -206,6 +234,20 @@ class GroupNormAct(nn.Module):
         # fold stats + affine into per-(batch, channel) scale/shift
         a = inv[:, :, None] * scale.reshape(groups, cg)[None]  # [B, G, cg]
         off = bias.reshape(groups, cg)[None] - mean[:, :, None] * a
+        if self.quant == "fold":
+            # Return the folded per-(batch, channel) scale/shift WITHOUT
+            # applying, plus the analytic k-sigma quant scale — consumed by
+            # PallasQConv3x3, which fuses apply+act+quantize into the conv's
+            # operand read (ops/pallas_qconv.py). No apply pass runs here.
+            u = (
+                jnp.abs(bias) + self.quant_k * jnp.abs(scale)
+            ).astype(jnp.float32) / 127.0 + 1e-12
+            return (
+                a.reshape(b, c).astype(jnp.float32),
+                off.reshape(b, c).astype(jnp.float32),
+                u,
+            )
+
         a = a.reshape(b, *(1,) * len(spatial), c).astype(self.out_dtype)
         off = off.reshape(b, *(1,) * len(spatial), c).astype(self.out_dtype)
 
@@ -471,17 +513,31 @@ class ResnetBlockBigGANpp(nn.Module):
               and min(in_ch, out_ch) >= self.quant_min_channels)
         q1 = (self.quant == "int8" and not train
               and out_ch >= self.quant_min_channels)
+        # 'int8_pallas': the Pallas kernel fuses GN-apply+SiLU+quantize into
+        # the conv's operand read (no normalized tensor in HBM at all,
+        # BASELINE.md:113-117). SiLU is hard-wired in the kernel; resampling
+        # blocks keep conv0 on the bf16 path (the FIR sits between the norm
+        # and the conv).
+        silu = self.act in (jax.nn.silu, jax.nn.swish)
+        qp0 = (self.quant == "int8_pallas" and not train and silu
+               and not (self.up or self.down)
+               and min(in_ch, out_ch) >= self.quant_min_channels)
+        qp1 = (self.quant == "int8_pallas" and not train and silu
+               and out_ch >= self.quant_min_channels)
 
         gn0 = GroupNormAct(
             in_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_0",
-            quant=("scale" if (self.up or self.down) else "out") if q0 else "none",
+            quant=("fold" if qp0 else
+                   ("scale" if (self.up or self.down) else "out") if q0
+                   else "none"),
             quant_k=self.quant_k,
         )
-        s0 = None
-        if q0 and not (self.up or self.down):
-            h, s0 = gn0(x)
+        s0 = fold0 = None
+        if qp0:
+            fold0 = gn0(x)  # (scale [B,C], shift [B,C], u [C]); h stays raw
+            h = x
         elif q0:
-            h, s0 = gn0(x)  # bf16 y + scale; quantize after resampling
+            h, s0 = gn0(x)  # int8 (or bf16 y + scale when resampling)
         else:
             h = gn0(x)
 
@@ -506,9 +562,14 @@ class ResnetBlockBigGANpp(nn.Module):
 
             h = quantize_with_scale(h, s0)
 
-        conv0 = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
-                        quant="int8" if q0 else "none")
-        h = conv0(h, prequant_scale=s0) if q0 else conv0(h)
+        if qp0:
+            h = PallasQConv3x3(out_ch, name="Conv_0", dtype=self.dtype)(
+                h, *fold0
+            )
+        else:
+            conv0 = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
+                            quant="int8" if q0 else "none")
+            h = conv0(h, prequant_scale=s0) if q0 else conv0(h)
         # identity tag for the selective remat policy (ncsnpp.py remat_policy
         # 'conv_outs'): backward saves conv outputs, recomputes only the
         # cheap normalization/activation/FIR passes
@@ -520,16 +581,27 @@ class ResnetBlockBigGANpp(nn.Module):
             )(self.act(temb))[:, None, None, :]
         gn1 = GroupNormAct(
             out_ch, act=self.act, out_dtype=self.dtype, name="GroupNorm_1",
-            quant="out" if q1 else "none", quant_k=self.quant_k,
+            quant="fold" if qp1 else ("out" if q1 else "none"),
+            quant_k=self.quant_k,
         )
-        conv1 = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
-                        dtype=self.dtype, quant="int8" if q1 else "none")
-        if q1:
+        if qp1:
+            # dropout is deterministic-identity at inference; apply+act+
+            # quantize fuse into the Pallas conv's operand read
+            fold1 = gn1(h)
+            h = PallasQConv3x3(
+                out_ch, init_scale=self.init_scale, name="Conv_1",
+                dtype=self.dtype,
+            )(h, *fold1)
+        elif q1:
             # dropout is deterministic-identity at inference (quant never
             # runs in training), so it drops out of the quantized path
+            conv1 = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                            dtype=self.dtype, quant="int8")
             hq, s1 = gn1(h)
             h = conv1(hq, prequant_scale=s1)
         else:
+            conv1 = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                            dtype=self.dtype)
             h = gn1(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = conv1(h)

@@ -62,6 +62,9 @@ class NCSNppConfig:
     dtype: str = "float32"  # compute dtype for convs/matmuls ('bfloat16' for
     # inference/serving speed; params and normalizations stay float32)
     quant: str = "none"  # 'int8': residual-block convs run the MXU in int8
+    # via lax.conv with fused-quantize producers; 'int8_pallas': the Pallas
+    # kernel fuses GN-apply+SiLU+quantize into the conv operand read
+    # (ops/pallas_qconv.py) — serving-only, SiLU backbones
     # with dynamic per-sample/per-channel scales (use_tpu/ops/qconv.py);
     # inference-only serving mode, ~2x MXU rate on v5e
     quant_min_channels: int = 128  # gate: only convs with
