@@ -28,16 +28,32 @@ from use_tpu.ops.pallas_qconv import qconv3x3_fused
 from use_tpu.ops.qconv import qconv2d
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, x, k, reps=3, inner=10):
+    """Median seconds per op with `inner` iterations INSIDE one jit.
+
+    One dispatch through the axon tunnel costs tens of ms, which dominates
+    (and equalizes) any single-call measurement — the round-2 sweep that
+    timed every variant at ~41 ms was measuring the RTT. Chaining the op
+    `inner` times in a lax.scan (output fed back, so iterations cannot be
+    CSE'd or overlapped away) amortizes the dispatch to noise. Requires the
+    op to map [B,H,W,C] -> [B,H,W,C] (use C == O shapes for timing)."""
+
+    @jax.jit
+    def loop(x, k):
+        def body(c, _):
+            return fn(c.astype(x.dtype), k), None
+        out, _ = jax.lax.scan(body, x, None, length=inner)
+        return out
+
+    out = loop(x, k)
+    float(jnp.sum(out[0, 0, 0, :].astype(jnp.float32)))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = loop(x, k)
+        float(jnp.sum(out[0, 0, 0, :].astype(jnp.float32)))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.median(ts)) / inner
 
 
 def main():
@@ -47,6 +63,10 @@ def main():
     ap.add_argument("--modes", nargs="*",
                     default=["dots9", "dots3", "im2col"])
     ap.add_argument("--vpu-bf16", action="store_true")
+    ap.add_argument("--no-act", action="store_true",
+                    help="probe: drop the SiLU from the pallas operand read")
+    ap.add_argument("--no-affine", action="store_true",
+                    help="probe: drop the GN affine from the operand read")
     ap.add_argument("--full", action="store_true",
                     help="include the level-1+ shapes (default: full-res only)")
     args = ap.parse_args()
@@ -63,6 +83,10 @@ def main():
         ]
     rng = np.random.default_rng(0)
     for B, H, W, C, O in shapes:
+        if C != O:
+            print(json.dumps({"shape": [B, H, W, C, O],
+                              "skipped": "loop timing needs C == O"}))
+            continue
         x = jnp.asarray(
             rng.standard_normal((B, H, W, C)).astype(np.float32),
             jnp.bfloat16,
@@ -132,7 +156,10 @@ def main():
                 @jax.jit
                 def pallas_int8(x, k, mode=mode, th=th):
                     return qconv3x3_fused(
-                        x, k, u, gn_scale=a, gn_shift=o, act=True,
+                        x, k, u,
+                        gn_scale=None if args.no_affine else a,
+                        gn_shift=None if args.no_affine else o,
+                        act=not args.no_act,
                         out_dtype=jnp.bfloat16, tile_h=th, mode=mode,
                         vpu_dtype=(jnp.bfloat16 if args.vpu_bf16
                                    else jnp.float32),

@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--n", type=int, default=30)
+    ap.add_argument("--quants", nargs="*", default=["int8"],
+                    help="quant variants vs bf16 (int8, int8_pallas)")
     args = ap.parse_args()
 
     sr = 24000
@@ -77,10 +79,12 @@ def main():
     t_bf16, out_bf16 = run_variant("none", wav, args.n)
     print(f"bf16 : {t_bf16*1e3:9.1f} ms  {audio_s/t_bf16:6.2f} audio-s/s",
           flush=True)
-    t_int8, out_int8 = run_variant("int8", wav, args.n)
-    print(f"int8 : {t_int8*1e3:9.1f} ms  {audio_s/t_int8:6.2f} audio-s/s  "
-          f"({t_bf16/t_int8:.2f}x)", flush=True)
-    print(f"si-sdr(int8 vs bf16): {si_sdr(out_bf16, out_int8):6.2f} dB")
+    for quant in args.quants:
+        t_q, out_q = run_variant(quant, wav, args.n)
+        print(f"{quant:12s}: {t_q*1e3:9.1f} ms  {audio_s/t_q:6.2f} audio-s/s  "
+              f"({t_bf16/t_q:.2f}x)  "
+              f"si-sdr vs bf16: {si_sdr(out_bf16, out_q):6.2f} dB",
+              flush=True)
 
 
 if __name__ == "__main__":

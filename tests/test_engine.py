@@ -254,3 +254,23 @@ def test_predict_with_ema_params_differs(tiny_dm, tmp_path):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), raw, ema
     )
     assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+def test_fit_sgmse_rich_eval_every(tiny_dm, tmp_path):
+    """Opt-in per-K-epoch rich eval inside fit_sgmse: metrics logged with
+    val/ prefixes (inference.py:23-101 run per val epoch in the reference)."""
+    from use_tpu.utils.logging import MetricLogger
+
+    model = ScoreModel(
+        backbone="ncsnpp", condition="noisy", sde_input="noisy",
+        n_fft=126, hop_length=32, num_frames=32,
+        backbone_kwargs=dict(nf=8, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    logger = MetricLogger(csv_path=str(tmp_path / "m.csv"))
+    fit_sgmse(
+        model, tiny_dm, lr=1e-4, accumulate_grad_batches=1, max_epochs=1,
+        seed=0, logger=logger, rich_eval_every=1, rich_eval_files=1,
+        rich_eval_N=2,
+    )
+    content = open(tmp_path / "m.csv").read()
+    assert "val/si_sdr" in content and "val/lsd" in content

@@ -128,6 +128,9 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
             ckpt_dir=os.path.join(out_dir, "checkpoints"),
             resume=bool(extras.get("ckpt_path")), logger=logger,
             async_ckpt=bool(t.get("async_ckpt", False)),
+            rich_eval_every=t.get("rich_eval_every"),
+            rich_eval_files=t.get("rich_eval_files", 2),
+            rich_eval_N=t.get("rich_eval_N", 10),
         )
     else:
         loop.fit_lsgan(

@@ -154,6 +154,9 @@ def fit_sgmse(
     logger: Optional[MetricLogger] = None,
     async_ckpt: bool = False,
     mesh: Any = "auto",
+    rich_eval_every: Optional[int] = None,
+    rich_eval_files: int = 2,
+    rich_eval_N: int = 10,
 ) -> FitResult:
     """Score-matching training (SGMSE_module semantics), data-parallel over
     the device mesh by default (reference trains DDP out of the box,
@@ -221,6 +224,40 @@ def fit_sgmse(
             "lr": float(sched(epoch)),
             "time_s": time.time() - t0,
         }
+        # rich metric harness every K epochs (the reference computes
+        # PESQ/SI-SDR/ESTOI + TB audio/figures per val epoch —
+        # sgmse/model.py:193-257, util/inference.py:23-101; here opt-in
+        # because the full reverse-SDE per utterance dominates epoch time)
+        if rich_eval_every and (epoch + 1) % rich_eval_every == 0:
+            from use_tpu.engine.evaluate import evaluate_model
+
+            pairs = []
+            for batch in datamodule.val_dataloader():
+                fb = _float_batch(batch)
+                for i in range(len(fb["clean"])):
+                    pairs.append({"clean": fb["clean"][i],
+                                  "perturbed": fb["perturbed"][i]})
+                    if len(pairs) >= rich_eval_files:
+                        break
+                if len(pairs) >= rich_eval_files:
+                    break
+
+            def enhance_fn(noisy, sub):
+                out = model.sample(
+                    state.params, {"perturbed": noisy[None]}, sub,
+                    N=rich_eval_N,
+                )
+                return np.asarray(out["enhanced"])[0]
+
+            rng, sub = jax.random.split(rng)
+            rich = evaluate_model(enhance_fn, pairs, sub)
+            logger.log({"epoch": epoch,
+                        **{f"val/{k}": v for k, v in rich["metrics"].items()}})
+            for i, fig in enumerate(rich["figures"]):
+                logger.log_figure(f"val/example_{i}", fig, step=epoch)
+            for i, clips in enumerate(rich["audio"]):
+                for nm, w in clips.items():
+                    logger.log_audio(f"val/{nm}_{i}", w, 24000, step=epoch)
         logger.log(row)
         history.append(row)
         if mgr:
