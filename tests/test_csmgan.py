@@ -61,3 +61,40 @@ def test_csmgan_tiny_end_to_end():
     out = wrapper(params, {"perturbed": wav})
     assert out["fake"].shape == wav.shape
     assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_csmgan_streaming_matches_offline():
+    """Chunked streaming (state-carry) == one offline pass, sample-exact.
+
+    Covers every carried state: causal-conv left contexts, cumulative-norm
+    statistics, TCN dilation buffers, STFT framing context and the
+    overlap-add tail, plus flush()'s reproduction of the offline reflect
+    end-padding."""
+    from use_tpu.models.gan.csmgan import CSMGANStream
+
+    wrapper = CSMGANWrapper(
+        n_fft=96, win_length=96, hop_length=48, input_freq=48,
+        encoder_channels=(4, 4, 8), encoder_depths=(1, 1),
+        decoder_depths=(1, 1), tcn_input_dim=96, tcn_bn_dim=32,
+        tcn_hidden_dim=32, tcn_layers=2, tcn_stacks=1,
+        in_proj_channels=4,
+    )
+    params = wrapper.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    n_chunks, k, hop = 4, 3, 48
+    wav = jnp.asarray(
+        rng.standard_normal((2, n_chunks * k * hop)).astype(np.float32)
+    )
+
+    offline = np.asarray(wrapper(params, {"perturbed": wav})["fake"])
+
+    sess = CSMGANStream(wrapper, params, batch_size=2, chunk_frames=k)
+    pieces = [
+        np.asarray(sess.step(wav[:, i * k * hop : (i + 1) * k * hop]))
+        for i in range(n_chunks)
+    ]
+    pieces.append(np.asarray(sess.flush()))
+    stream = np.concatenate(pieces, axis=1)
+
+    assert stream.shape == offline.shape, (stream.shape, offline.shape)
+    np.testing.assert_allclose(stream, offline, atol=2e-4, rtol=1e-4)

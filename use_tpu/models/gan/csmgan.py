@@ -41,19 +41,63 @@ def _cumulative_stats(sums: jnp.ndarray, pow_sums: jnp.ndarray, per_step: int, a
     return mean, var
 
 
+def _stream_cum_stats(mod: nn.Module, sums: jnp.ndarray, pow_sums: jnp.ndarray, per_step: int):
+    """Streaming cumulative stats: continue from carried (sum, pow, count).
+
+    `sums`/`pow_sums` are per-frame reductions with time on axis 1; the
+    carried totals live in the module's 'stream' collection so chunked
+    processing is numerically identical to one offline pass (up to fp
+    reassociation of the cumsum)."""
+    carry_shape = (sums.shape[0], 1) + sums.shape[2:]
+    s = mod.variable("stream", "sum", jnp.zeros, carry_shape, jnp.float32)
+    p = mod.variable("stream", "pow", jnp.zeros, carry_shape, jnp.float32)
+    n = mod.variable("stream", "cnt", jnp.zeros, (), jnp.float32)
+    cum_sum = s.value + jnp.cumsum(sums, axis=1)
+    cum_pow = p.value + jnp.cumsum(pow_sums, axis=1)
+    t = sums.shape[1]
+    steps = jnp.arange(1, t + 1, dtype=jnp.float32).reshape(
+        (1, t) + (1,) * (sums.ndim - 2)
+    )
+    cnt = (n.value + steps) * per_step
+    mean = cum_sum / cnt
+    var = jnp.maximum(cum_pow / cnt - mean ** 2, 0.0)
+    s.value = cum_sum[:, -1:]
+    p.value = cum_pow[:, -1:]
+    n.value = n.value + t
+    return mean, var
+
+
+def _stream_context(mod: nn.Module, x: jnp.ndarray, ctx: int):
+    """Prepend `ctx` carried time steps (axis 1) to x; carry the new tail.
+
+    The streaming replacement for causal left zero-padding: the buffer holds
+    the previous chunk's last `ctx` steps, so chunk-wise outputs equal the
+    offline causal convolution exactly."""
+    buf = mod.variable(
+        "stream", "ctx", jnp.zeros, (x.shape[0], ctx) + x.shape[2:], x.dtype
+    )
+    ext = jnp.concatenate([buf.value, x], axis=1)
+    buf.value = ext[:, -ctx:]
+    return ext
+
+
 class CumLN1d(nn.Module):
     """Cumulative layer norm over [B, T, C] (generator5_24k.py cLN:12-49)."""
 
     eps: float = 1e-8
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         gain = self.param("gain", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean, var = _cumulative_stats(
-            jnp.sum(x, -1, keepdims=True), jnp.sum(x ** 2, -1, keepdims=True), c, 1
-        )
+        sums = jnp.sum(x, -1, keepdims=True)
+        pows = jnp.sum(x ** 2, -1, keepdims=True)
+        if self.stream:
+            mean, var = _stream_cum_stats(self, sums, pows, c)
+        else:
+            mean, var = _cumulative_stats(sums, pows, c, 1)
         return (x - mean) * jax.lax.rsqrt(var + self.eps) * gain + bias
 
 
@@ -61,15 +105,19 @@ class CumLN2d(nn.Module):
     """Cumulative layer norm over [B, T, F, C] (CumLN2d:342-362)."""
 
     eps: float = EPS
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
-        mean, var = _cumulative_stats(
-            jnp.sum(x, -1, keepdims=True), jnp.sum(x ** 2, -1, keepdims=True), c, 1
-        )
+        sums = jnp.sum(x, -1, keepdims=True)
+        pows = jnp.sum(x ** 2, -1, keepdims=True)
+        if self.stream:
+            mean, var = _stream_cum_stats(self, sums, pows, c)
+        else:
+            mean, var = _cumulative_stats(sums, pows, c, 1)
         return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
 
 
@@ -82,13 +130,18 @@ class CausalConv2d(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     groups: int = 1
     use_bias: bool = True
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kt, kf = self.kernel_size
         pt = (kt - 1) * self.dilation[0]
         pf = (kf - 1) * self.dilation[1] // 2
-        x = jnp.pad(x, ((0, 0), (pt, 0), (pf, pf), (0, 0)))
+        if self.stream and pt > 0:
+            x = _stream_context(self, x, pt)
+            x = jnp.pad(x, ((0, 0), (0, 0), (pf, pf), (0, 0)))
+        else:
+            x = jnp.pad(x, ((0, 0), (pt, 0), (pf, pf), (0, 0)))
         return nn.Conv(
             self.features, self.kernel_size, strides=self.strides, padding="VALID",
             kernel_dilation=self.dilation, feature_group_count=self.groups,
@@ -105,11 +158,14 @@ class SeChannelModule(nn.Module):
     """Freq-pooled channel attention with causal time smoothing (:458-471)."""
 
     channels: int
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pooled = jnp.mean(x, axis=2, keepdims=True)  # [B, T, 1, C]
-        smoothed = CausalConv2d(self.channels, (3, 1), use_bias=False)(pooled)
+        smoothed = CausalConv2d(
+            self.channels, (3, 1), use_bias=False, stream=self.stream
+        )(pooled)
         return x * smoothed
 
 
@@ -126,9 +182,13 @@ class SeFreqModule(nn.Module):
         return x * jnp.swapaxes(smoothed, 2, 3)  # [B, T, F, 1] broadcast
 
 
-def get_norm(norm: str):
+def get_norm(norm: str, stream: bool = False):
     if norm == "CLN":
-        return CumLN2d
+        return lambda: CumLN2d(stream=stream)
+    if stream:
+        # BN/IN substitutes normalize over the full T axis — not causal,
+        # so they cannot be carried across chunks
+        raise NotImplementedError(f"Streaming requires norm='CLN', got {norm}")
     if norm in ("BN", "SyncBN"):
         # batch-independent substitute: flax GroupNorm(1) == LayerNorm over C
         return lambda: nn.GroupNorm(num_groups=1, epsilon=1e-5)
@@ -145,6 +205,7 @@ class GLFB(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     norm: str = "CLN"
     freq_dim: int = 480
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -152,18 +213,19 @@ class GLFB(nn.Module):
         beta = self.param("beta", nn.initializers.ones, (c,))
         gamma = self.param("gamma", nn.initializers.ones, (c,))
 
-        h = get_norm(self.norm)()(x)
+        h = get_norm(self.norm, self.stream)()(x)
         h = nn.Conv(2 * c, (1, 1), use_bias=False)(h)
         h = CausalConv2d(
             2 * c, self.kernel_size, dilation=self.dilation, groups=2 * c,
+            stream=self.stream,
         )(h)
         h = gate(h)
-        h = SeChannelModule(c)(h)
+        h = SeChannelModule(c, stream=self.stream)(h)
         h = SeFreqModule(self.freq_dim)(h)
         h = nn.Conv(c, (1, 1), use_bias=False)(h)
         x = x + h * beta
 
-        h = get_norm(self.norm)()(x)
+        h = get_norm(self.norm, self.stream)()(x)
         h = nn.Conv(2 * c, (1, 1), use_bias=False)(h)
         h = gate(h)
         h = nn.Conv(c, (1, 1), use_bias=False)(h)
@@ -178,20 +240,24 @@ class DepthConv1d(nn.Module):
     kernel: int = 3
     dilation: int = 1
     skip: bool = True
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         h = nn.Conv(self.hidden_channel, (1,))(x)
         h = nn.PReLU()(h)
-        h = CumLN1d()(h)
+        h = CumLN1d(stream=self.stream)(h)
         pad = (self.kernel - 1) * self.dilation
-        h = jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
+        if self.stream:
+            h = _stream_context(self, h, pad)
+        else:
+            h = jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
         h = nn.Conv(
             self.hidden_channel, (self.kernel,), kernel_dilation=(self.dilation,),
             feature_group_count=self.hidden_channel, padding="VALID",
         )(h)
         h = nn.PReLU()(h)
-        h = CumLN1d()(h)
+        h = CumLN1d(stream=self.stream)(h)
         residual = nn.Conv(self.input_channel, (1,))(h)
         if self.skip:
             return residual, nn.Conv(self.input_channel, (1,))(h)
@@ -209,17 +275,18 @@ class TCN(nn.Module):
     stack: int = 2
     kernel: int = 3
     skip: bool = True
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = CumLN1d()(x)
+        h = CumLN1d(stream=self.stream)(x)
         h = nn.Conv(self.bn_dim, (1,))(h)
         skip_sum = 0.0
         for s in range(self.stack):
             for i in range(self.layer):
                 res, skip = DepthConv1d(
                     self.bn_dim, self.hidden_dim, self.kernel, dilation=2 ** i,
-                    skip=self.skip,
+                    skip=self.skip, stream=self.stream,
                 )(h)
                 h = h + res
                 if self.skip:
@@ -235,12 +302,14 @@ class PixelShuffleBlock(nn.Module):
     out_channels: int
     upscale_factor: int = 2
     kernel_size: Tuple[int, int] = (3, 3)
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
         h = CausalConv2d(
-            self.out_channels * self.upscale_factor, self.kernel_size, use_bias=False
+            self.out_channels * self.upscale_factor, self.kernel_size,
+            use_bias=False, stream=self.stream,
         )(x)
         bt, t, f, c = h.shape
         # channel-major shuffle into frequency (PixelShuffle:396-410)
@@ -266,10 +335,13 @@ class CSMGAN(nn.Module):
     decoder_glfb_kernel: Tuple[int, int] = (3, 3)
     glfb_norm: str = "CLN"
     input_freq: int = 480
+    stream: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = CausalConv2d(self.in_proj_channels, (3, 3), name="in_proj")(x)
+        x = CausalConv2d(
+            self.in_proj_channels, (3, 3), name="in_proj", stream=self.stream
+        )(x)
 
         skips = []
         for i, depth in enumerate(self.encoder_depths):
@@ -279,7 +351,7 @@ class CSMGAN(nn.Module):
                     kernel_size=self.encoder_glfb_kernel,
                     dilation=(2 ** d, 1), norm=self.glfb_norm,
                     freq_dim=self.input_freq // 2 ** i,
-                    name=f"enc{i}_glfb{d}",
+                    name=f"enc{i}_glfb{d}", stream=self.stream,
                 )(x)
             skips.append(x)
             # freq downsample x2: kernel (1,6) stride (1,2) pad (0,2)
@@ -297,24 +369,24 @@ class CSMGAN(nn.Module):
             input_dim=self.tcn_input_dim, output_dim=self.tcn_input_dim,
             bn_dim=self.tcn_bn_dim, hidden_dim=self.tcn_hidden_dim,
             layer=self.tcn_layers, stack=self.tcn_stacks, kernel=self.tcn_kernel,
-            name="bottleneck",
+            name="bottleneck", stream=self.stream,
         )(flat)
         x = jnp.swapaxes(flat, 1, 2).reshape(b, c, f, t)
         x = jnp.transpose(x, (0, 3, 2, 1))  # back to [B, T, F, C]
 
         for i, depth in enumerate(self.decoder_depths):
             out_ch = self.encoder_channels[-i - 2]
-            x = PixelShuffleBlock(out_ch, name=f"up{i}")(x)
+            x = PixelShuffleBlock(out_ch, name=f"up{i}", stream=self.stream)(x)
             x = x + skips[-i - 1]
             for d in range(depth):
                 x = GLFB(
                     channels=out_ch, kernel_size=self.decoder_glfb_kernel,
                     dilation=(2 ** d, 1), norm=self.glfb_norm,
                     freq_dim=self.input_freq // 2 ** (len(self.encoder_depths) - i - 1),
-                    name=f"dec{i}_glfb{d}",
+                    name=f"dec{i}_glfb{d}", stream=self.stream,
                 )(x)
 
-        return CausalConv2d(2, (3, 3), name="out_proj")(x)
+        return CausalConv2d(2, (3, 3), name="out_proj", stream=self.stream)(x)
 
 
 class CSMGANWrapper:
@@ -338,7 +410,8 @@ class CSMGANWrapper:
             window=window, sampling_rate=sampling_rate, compression=compression,
             inverse_keys=["fake"],
         )
-        self.net = CSMGAN(input_freq=input_freq, **net_kwargs)
+        self._net_kwargs = dict(input_freq=input_freq, **net_kwargs)
+        self.net = CSMGAN(**self._net_kwargs)
 
     def init_params(self, rng, num_frames: int = 16):
         freq = self.feature.n_fft // 2 + 1
@@ -353,6 +426,169 @@ class CSMGANWrapper:
         y = jnp.pad(y, ((0, 0), (0, 0), (0, 1), (0, 0)))
         batch["fake_spectra"] = jnp.transpose(y, (0, 2, 1, 3))
         return self.feature.inverse(batch)
+
+
+class CSMGANStream:
+    """Streaming enhancement session: chunked wav in -> enhanced wav out.
+
+    The reference only notes that CSMGAN is causal by construction
+    (generator5_24k.py: causal convs, cumulative norms, causal TCN) and
+    benchmarks it offline; this is the actual streaming runtime for it.
+    Every causal module carries its left time-context / cumulative statistics
+    in a 'stream' variable collection, so chunk-wise outputs are numerically
+    IDENTICAL to one offline `CSMGANWrapper.__call__` over the whole
+    utterance (tested in tests/test_csmgan.py).
+
+    TPU-first: one fixed-shape jitted step is compiled once and reused for
+    the whole session; per-chunk work is a [k, n_fft] DFT matmul, the
+    streaming network forward, and an overlap-add with a precomputed
+    periodic window envelope — no host-side DSP.
+
+    Framing (center=True STFT, n_fft = 2*hop): `step()` consumes
+    chunk_frames*hop samples and emits the same number, delayed by one hop
+    (the lookahead of centered frames); the first step emits chunk-hop
+    samples and `flush()` emits the final hop, reproducing the offline tail
+    (reflect end-padding) for hop-aligned inputs.
+    """
+
+    def __init__(self, wrapper: CSMGANWrapper, params, batch_size: int = 1,
+                 chunk_frames: int = 4):
+        from use_tpu.ops.stft import _dft_matrices, _window_sq
+
+        feat = wrapper.feature
+        self.hop = feat.hop_length
+        self.n_fft = feat.n_fft
+        if feat.cfg.wl != self.n_fft or self.n_fft != 2 * self.hop:
+            raise NotImplementedError(
+                "CSMGANStream requires win_length == n_fft == 2*hop "
+                f"(got n_fft={self.n_fft}, win={feat.cfg.wl}, hop={self.hop})"
+            )
+        if chunk_frames < 2:
+            raise ValueError("chunk_frames must be >= 2 (reflect priming)")
+        self.k = chunk_frames
+        self.chunk_samples = chunk_frames * self.hop
+        self.batch = batch_size
+        self.compression = feat.compression
+        self.freqs = self.n_fft // 2 + 1
+        self.params = params
+
+        self._net = CSMGAN(stream=True, **wrapper._net_kwargs)
+        dummy = jnp.zeros((batch_size, chunk_frames, self.freqs - 1, 2))
+        # init RUNS the forward, so the returned collection is the state
+        # AFTER the dummy chunk — a fresh stream starts from all-zeros
+        net_state0 = jax.tree.map(
+            jnp.zeros_like,
+            self._net.init({"params": jax.random.PRNGKey(0)}, dummy)["stream"],
+        )
+
+        fwd, inv = _dft_matrices(self.n_fft, self.n_fft, feat.window)
+        self._fwd = jnp.asarray(fwd)
+        self._inv = jnp.asarray(inv)
+        wsq = _window_sq(self.n_fft, self.n_fft, feat.window)
+        env = wsq[: self.hop] + wsq[self.hop :]
+        self._env = jnp.asarray(np.where(env > 1e-11, env, 1.0))
+
+        self.state = {
+            "net": net_state0,
+            # last hop+1 raw input samples (the +1 feeds flush's reflection)
+            "wav_ctx": jnp.zeros((batch_size, self.hop + 1)),
+            # pending (un-normalized) overlap-add tail
+            "ola": jnp.zeros((batch_size, self.hop)),
+        }
+        self._started = False
+        self._step = jax.jit(self._make_step(chunk_frames))
+        self._flush_step = jax.jit(self._make_step(1, update_wav_ctx=False))
+
+    # -- core jitted chunk program -----------------------------------------
+    def _make_step(self, k: int, update_wav_ctx: bool = True):
+        from use_tpu.ops.stft_feature import (
+            _compress, _decompress, mag_unit_phase,
+        )
+
+        hop, n_fft, f = self.hop, self.n_fft, self.freqs
+
+        def step(params, state, sig_new):
+            # sig = padded-signal window [B, (k+1)*hop]: one hop of carried
+            # context + k new hops
+            sig = jnp.concatenate([state["wav_ctx"][:, 1:], sig_new], axis=1)
+            idx = (
+                np.arange(k, dtype=np.int32)[:, None] * hop
+                + np.arange(n_fft, dtype=np.int32)[None, :]
+            )
+            frames = sig[:, idx]  # [B, k, n_fft]
+            spec = jnp.matmul(
+                frames, self._fwd, precision=jax.lax.Precision.HIGHEST
+            )  # [B, k, 2F]
+            spec = jnp.stack([spec[..., :f], spec[..., f:]], axis=-1)
+            if self.compression is not None:
+                mag, unit = mag_unit_phase(spec)
+                spec = _compress(mag, self.compression)[..., None] * unit
+
+            y, mut = self._net.apply(
+                {"params": params, "stream": state["net"]},
+                spec[:, :, : f - 1, :], mutable=["stream"],
+            )
+            y = jnp.pad(y, ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+            if self.compression is not None:
+                mag, unit = mag_unit_phase(y)
+                y = _decompress(mag, self.compression)[..., None] * unit
+            sp = jnp.concatenate([y[..., 0], y[..., 1]], axis=-1)  # [B,k,2F]
+            out_frames = jnp.matmul(
+                sp, self._inv, precision=jax.lax.Precision.HIGHEST
+            )  # [B, k, n_fft]
+
+            acc = jnp.zeros((sig.shape[0], (k + 1) * hop), out_frames.dtype)
+            acc = acc.at[:, :hop].add(state["ola"])
+            acc = acc.at[:, idx.reshape(-1)].add(
+                out_frames.reshape(out_frames.shape[0], -1)
+            )
+            emit = acc[:, : k * hop] / jnp.tile(self._env, k)
+
+            new_state = {
+                "net": mut["stream"],
+                "wav_ctx": sig[:, -hop - 1 :] if update_wav_ctx
+                else state["wav_ctx"],
+                "ola": acc[:, k * hop :],
+            }
+            return new_state, emit
+
+        return step
+
+    # -- public API --------------------------------------------------------
+    def step(self, chunk) -> jnp.ndarray:
+        """Feed [B, chunk_frames*hop] samples; emit the ready samples.
+
+        Returns chunk-hop samples on the first call (framing lookahead),
+        a full chunk afterwards."""
+        chunk = jnp.asarray(chunk)
+        assert chunk.shape == (self.batch, self.chunk_samples), chunk.shape
+        if not self._started:
+            # center=True reflect pre-pad: pad[i] = x[hop - i]
+            prime = chunk[:, 1 : self.hop + 1][:, ::-1]
+            self.state = {
+                **self.state,
+                "wav_ctx": jnp.concatenate(
+                    [jnp.zeros((self.batch, 1)), prime], axis=1
+                ),
+            }
+            self.state, emit = self._step(self.params, self.state, chunk)
+            self._started = True
+            return emit[:, self.hop :]
+        self.state, emit = self._step(self.params, self.state, chunk)
+        return emit
+
+    def flush(self) -> jnp.ndarray:
+        """End of stream: emit the final hop of samples (offline-tail parity).
+
+        Synthesizes the last centered frame from the carried context and its
+        reflection (torch.stft's end padding), matching the offline
+        wrapper's output length for hop-aligned inputs."""
+        ctx = self.state["wav_ctx"]
+        endpad = ctx[:, : self.hop][:, ::-1]  # x[L-2-i], i=0..hop-1
+        state, emit = self._flush_step(self.params, self.state, endpad)
+        self.state = state
+        return emit
 
 
 GeneratorRegistry.register("csmgan")(CSMGANWrapper)
