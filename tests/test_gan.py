@@ -207,3 +207,57 @@ def test_fit_lsgan_validation_drives_checkpoint(tmp_path, monkeypatch):
         assert np.isfinite(row["val/loss_G"])
         # validation is a distinct pass, not the train loss relabeled
         assert row["val/loss_G"] != row["train/loss_G"]
+
+
+def test_lsgan_with_csmgan_generator():
+    """Any registered generator drives the GAN task uniformly (reference
+    GANModule calls G(batch) regardless of _target_; CSMGAN_Wrapper.forward
+    is crop-free and deterministic, generator5_24k.py:754-761)."""
+    from use_tpu.engine.train import make_gan_train_step
+    from use_tpu.models.gan.csmgan import CSMGANWrapper
+
+    gen = CSMGANWrapper(
+        n_fft=96, win_length=96, hop_length=48, input_freq=48,
+        encoder_channels=[4, 4, 8], encoder_depths=[1, 1],
+        decoder_depths=[1, 1], tcn_input_dim=96, tcn_bn_dim=32,
+        tcn_hidden_dim=32, tcn_layers=2, tcn_stacks=1, in_proj_channels=4,
+    )
+    gan = LSGAN(generator=gen, discriminator=_TinyD())
+    g_params, d_params = gan.init_params(jax.random.PRNGKey(0), wav_len=2400)
+    g_tx = optim.adam(lr=5e-4, weight_decay=1e-7, params_example=g_params)
+    d_tx = optim.adam(lr=2e-4, weight_decay=1e-7, params_example=d_params)
+    state = GANTrainState(
+        g=TrainState.create(g_params, g_tx), d=TrainState.create(d_params, d_tx)
+    )
+    step = make_gan_train_step(gan, g_tx, d_tx, accum=1, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "clean": jnp.asarray(rng.standard_normal((1, 2400)).astype(np.float32)),
+        "perturbed": jnp.asarray(rng.standard_normal((1, 2400)).astype(np.float32)),
+    }
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_D"]))
+    assert np.isfinite(float(metrics["loss_G"]))
+
+
+def test_build_model_resolves_generator_registry_name():
+    from use_tpu.cli.main import _build_model
+    from use_tpu.models.gan.csmgan import CSMGANWrapper
+
+    cfg = {
+        "task": "lsgan",
+        "model": {
+            "generator": {
+                "name": "csmgan", "n_fft": 96, "win_length": 96,
+                "hop_length": 48, "input_freq": 48,
+                "encoder_channels": [4, 4, 8], "encoder_depths": [1, 1],
+                "decoder_depths": [1, 1], "tcn_input_dim": 96,
+                "tcn_bn_dim": 32, "tcn_hidden_dim": 32, "tcn_layers": 2,
+                "tcn_stacks": 1, "in_proj_channels": 4,
+            },
+            "discriminator": "hifigan_vocoder_discriminator_24k_MVD",
+            "g_loss": {"sampling_rate": 24000},
+        },
+    }
+    gan = _build_model(cfg)
+    assert isinstance(gan.generator, CSMGANWrapper)

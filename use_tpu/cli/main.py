@@ -70,13 +70,19 @@ def _build_model(cfg: Dict):
         m = dict(cfg["model"])
         return ScoreModel(**m)
     if cfg["task"] == "lsgan":
+        import use_tpu.models.gan  # noqa: F401 (populate the registries)
         from use_tpu.models.gan import losses
-        from use_tpu.models.gan.generator import NCSNPPWrapper
         from use_tpu.models.gan.lsgan import LSGAN
-        from use_tpu.models.registry import DiscriminatorRegistry
+        from use_tpu.models.registry import (
+            DiscriminatorRegistry, GeneratorRegistry,
+        )
 
         gcfg = dict(cfg["model"]["generator"])
-        gen = NCSNPPWrapper(**gcfg)
+        # reference: the generator is any _target_ class the GANModule drives
+        # uniformly (configs/model/LSGAN.yaml:3-13); select by registry name
+        gen = GeneratorRegistry.get_by_name(
+            gcfg.pop("name", "ncsnpp_wrapper")
+        )(**gcfg)
         disc = DiscriminatorRegistry.get_by_name(cfg["model"]["discriminator"])()
         lcfg = losses.HifiganGLossConfig(
             **cfg["model"]["g_loss"], enhanced_key=cfg["model"].get("enhanced_key", "fake")

@@ -410,15 +410,27 @@ class CSMGANWrapper:
             window=window, sampling_rate=sampling_rate, compression=compression,
             inverse_keys=["fake"],
         )
+        # YAML configs deliver sequences as lists; linen attributes must be
+        # hashable (the reference tuple-ifies too, generator5_24k.py:721-722)
+        net_kwargs = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in net_kwargs.items()
+        }
         self._net_kwargs = dict(input_freq=input_freq, **net_kwargs)
         self.net = CSMGAN(**self._net_kwargs)
+        # dummy-wav length for discriminator init when used as the LSGAN G
+        # (the reference trains CSMGAN through the same GANModule; crops are
+        # the data layer's job — CSMGAN_Wrapper.forward:754-761 has none)
+        self.target_len = input_freq * hop_length
 
     def init_params(self, rng, num_frames: int = 16):
         freq = self.feature.n_fft // 2 + 1
         spec = jnp.zeros((1, num_frames, freq - 1, 2))
         return self.net.init(rng, spec)["params"]
 
-    def __call__(self, params, batch):
+    def __call__(self, params, batch, rng=None, train=False):
+        # rng/train accepted for LSGAN engine-interface parity with
+        # NCSNPPWrapper; the forward is deterministic and crop-free
         batch = self.feature(batch)
         spec = batch["perturbed_spectra"]  # [B, F, T, 2]
         x = jnp.transpose(spec, (0, 2, 1, 3))[:, :, :-1, :]  # [B, T, F-1, 2]
