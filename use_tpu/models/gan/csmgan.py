@@ -508,6 +508,7 @@ class CSMGANStream:
             "ola": jnp.zeros((batch_size, self.hop)),
         }
         self._started = False
+        self._flushed = False
         self._step = jax.jit(self._make_step(chunk_frames))
         self._flush_step = jax.jit(self._make_step(1, update_wav_ctx=False))
 
@@ -573,6 +574,8 @@ class CSMGANStream:
 
         Returns chunk-hop samples on the first call (framing lookahead),
         a full chunk afterwards."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed; start a new session")
         chunk = jnp.asarray(chunk)
         assert chunk.shape == (self.batch, self.chunk_samples), chunk.shape
         if not self._started:
@@ -596,6 +599,11 @@ class CSMGANStream:
         Synthesizes the last centered frame from the carried context and its
         reflection (torch.stft's end padding), matching the offline
         wrapper's output length for hop-aligned inputs."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed; start a new session")
+        if not self._started:
+            raise RuntimeError("flush() before any step()")
+        self._flushed = True
         ctx = self.state["wav_ctx"]
         endpad = ctx[:, : self.hop][:, ::-1]  # x[L-2-i], i=0..hop-1
         state, emit = self._flush_step(self.params, self.state, endpad)
