@@ -98,3 +98,34 @@ def test_csmgan_streaming_matches_offline():
 
     assert stream.shape == offline.shape, (stream.shape, offline.shape)
     np.testing.assert_allclose(stream, offline, atol=2e-4, rtol=1e-4)
+
+
+def test_enhance_streaming_pads_and_reuses_session():
+    """enhance_streaming == offline on the chunk-padded wav, trimmed; a
+    reused (reset) session gives identical output."""
+    wrapper = CSMGANWrapper(
+        n_fft=96, win_length=96, hop_length=48, input_freq=48,
+        encoder_channels=(4, 4, 8), encoder_depths=(1, 1),
+        decoder_depths=(1, 1), tcn_input_dim=96, tcn_bn_dim=32,
+        tcn_hidden_dim=32, tcn_layers=2, tcn_stacks=1,
+        in_proj_channels=4,
+    )
+    params = wrapper.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    k, hop = 2, 48
+    length = 5 * hop + 17  # NOT chunk- or hop-aligned
+    wav = jnp.asarray(rng.standard_normal((1, length)).astype(np.float32))
+
+    cs = k * hop
+    pad = (-length) % cs
+    padded = jnp.pad(wav, ((0, 0), (0, pad)))
+    offline = np.asarray(wrapper(params, {"perturbed": padded})["fake"])[:, :length]
+
+    out1, sess = wrapper.enhance_streaming(params, wav, chunk_frames=k)
+    np.testing.assert_allclose(np.asarray(out1), offline, atol=2e-4, rtol=1e-4)
+
+    out2, sess2 = wrapper.enhance_streaming(
+        params, wav, chunk_frames=k, session=sess
+    )
+    assert sess2 is sess  # compiled step reused
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=0)

@@ -316,6 +316,22 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
     rng = jax.random.PRNGKey(cfg["train"].get("seed", 0))
     icfg = cfg.get("infer", {})
 
+    # chunked streaming enhancement (task=lsgan with a streamable generator,
+    # e.g. model.generator.name=csmgan): predict.streaming=true
+    # [predict.chunk_frames=4]
+    streaming = extras.get("predict.streaming", "").lower() in ("1", "true")
+    stream_chunk = int(extras.get("predict.chunk_frames", "4"))
+    stream_sess = None
+    if streaming:
+        if chain or cfg["task"] != "lsgan" or not hasattr(
+            getattr(model, "generator", None), "enhance_streaming"
+        ):
+            raise SystemExit(
+                "predict.streaming=true requires task=lsgan with a "
+                "streamable generator (model.generator.name=csmgan) and no "
+                "predict.chain"
+            )
+
     def run_sgmse(m, p, batch, rng, out_key):
         extra = {k: icfg[k] for k in ("window", "tol") if k in icfg}
         out = m.sample(
@@ -344,6 +360,11 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
             enhanced = np.asarray(enhanced)
         elif cfg["task"] == "sgmse":
             _, enhanced = run_sgmse(model, params, {"perturbed": wav}, sub, "enhanced")
+            enhanced = np.asarray(enhanced)
+        elif streaming:
+            enhanced, stream_sess = model.generator.enhance_streaming(
+                params, wav, chunk_frames=stream_chunk, session=stream_sess
+            )
             enhanced = np.asarray(enhanced)
         else:
             out = model.enhance(params, {"perturbed": wav})

@@ -428,6 +428,32 @@ class CSMGANWrapper:
         spec = jnp.zeros((1, num_frames, freq - 1, 2))
         return self.net.init(rng, spec)["params"]
 
+    def enhance_streaming(self, params, wav, chunk_frames: int = 4,
+                          session: "CSMGANStream" = None):
+        """Enhance [B, L] chunk-by-chunk through a CSMGANStream session.
+
+        Pads L up to a chunk multiple, streams, flushes, trims back to L.
+        Returns (enhanced [B, L], session) — pass the session back in for
+        subsequent same-shape calls to reuse the compiled step (the session
+        is bound to the params it was created with)."""
+        wav = jnp.asarray(wav)
+        b, length = wav.shape
+        cs = chunk_frames * self.feature.hop_length
+        pad = (-length) % cs
+        wav = jnp.pad(wav, ((0, 0), (0, pad)))
+        if session is None or session.batch != b or session.k != chunk_frames:
+            session = CSMGANStream(
+                self, params, batch_size=b, chunk_frames=chunk_frames
+            )
+        else:
+            session.reset()
+        pieces = [
+            session.step(wav[:, i : i + cs])
+            for i in range(0, wav.shape[1], cs)
+        ]
+        pieces.append(session.flush())
+        return jnp.concatenate(pieces, axis=1)[:, :length], session
+
     def __call__(self, params, batch, rng=None, train=False):
         # rng/train accepted for LSGAN engine-interface parity with
         # NCSNPPWrapper; the forward is deterministic and crop-free
@@ -509,8 +535,16 @@ class CSMGANStream:
         }
         self._started = False
         self._flushed = False
+        self._state0 = jax.tree.map(jnp.zeros_like, self.state)
         self._step = jax.jit(self._make_step(chunk_frames))
         self._flush_step = jax.jit(self._make_step(1, update_wav_ctx=False))
+
+    def reset(self) -> None:
+        """Zero all carried state to start a new stream (keeps the
+        compiled step)."""
+        self.state = self._state0
+        self._started = False
+        self._flushed = False
 
     # -- core jitted chunk program -----------------------------------------
     def _make_step(self, k: int, update_wav_ctx: bool = True):
