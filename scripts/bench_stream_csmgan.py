@@ -32,6 +32,9 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, nargs="*", default=[2, 4, 8])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="concurrent streams per session (multi-stream "
+                         "serving: one step advances all of them)")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=4.0)
@@ -46,12 +49,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     for k in args.chunks:
-        sess = CSMGANStream(wrapper, params, batch_size=1, chunk_frames=k)
+        sess = CSMGANStream(wrapper, params, batch_size=args.batch, chunk_frames=k)
         chunk_s = k * hop / sr
         n_chunks = max(int(args.seconds * sr / (k * hop)), args.inner + 2)
-        wav = 0.1 * rng.standard_normal((1, n_chunks * k * hop)).astype(
-            np.float32
-        )
+        wav = 0.1 * rng.standard_normal(
+            (args.batch, n_chunks * k * hop)
+        ).astype(np.float32)
 
         # warm up (compiles the step) and prime the session state
         out = sess.step(wav[:, : k * hop])
@@ -80,7 +83,8 @@ def main() -> None:
             return jax.lax.scan(body, state, chunks)
 
         chunks = jnp.asarray(
-            wav[: , : args.inner * k * hop].reshape(1, args.inner, k * hop)
+            wav[:, : args.inner * k * hop]
+            .reshape(args.batch, args.inner, k * hop)
         ).transpose(1, 0, 2)
         _, sums = run_scan(params, state0, chunks)
         float(jnp.sum(sums))
@@ -94,10 +98,11 @@ def main() -> None:
 
         print(json.dumps({
             "chunk_frames": k,
+            "streams": args.batch,
             "chunk_ms": round(chunk_s * 1e3, 1),
             "dispatch_latency_ms": round(lat * 1e3, 2),
             "device_chunk_ms": round(dev_chunk * 1e3, 2),
-            "rtf_x_realtime": round(chunk_s / dev_chunk, 1),
+            "rtf_x_realtime": round(args.batch * chunk_s / dev_chunk, 1),
             "algorithmic_latency_ms": round((k + 1) * hop / sr * 1e3, 1),
             "realtime_ok": bool(lat < chunk_s),
         }))

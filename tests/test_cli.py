@@ -188,3 +188,26 @@ def test_cli_eval_lsgan(tmp_path, wav_folder):
     content = open(os.path.join(out_dir, "metrics.csv")).read()
     assert "test/loss_G" in content
     assert "test/si_sdr" in content
+
+
+def test_cli_predict_csmgan_streaming(wav_folder):
+    """The CSMGAN recipe + predict.streaming=true: chunked enhancement
+    through CSMGANStream, folder structure mirrored, length preserved."""
+    data, target = wav_folder
+    main([
+        "predict", "experiment=CSMGAN",
+        "model.generator.n_fft=96", "model.generator.win_length=96",
+        "model.generator.hop_length=48", "model.generator.input_freq=48",
+        "model.generator.encoder_channels=[4,4,8]",
+        "model.generator.encoder_depths=[1,1]",
+        "model.generator.decoder_depths=[1,1]",
+        "model.generator.tcn_input_dim=96", "model.generator.tcn_bn_dim=32",
+        "model.generator.tcn_hidden_dim=32", "model.generator.tcn_layers=2",
+        "model.generator.tcn_stacks=1", "model.generator.in_proj_channels=4",
+        "predict.streaming=true", "predict.chunk_frames=2",
+        f"predict.data_folder={data}", f"predict.target_folder={target}",
+    ])
+    out = os.path.join(target, "sub", "u0.wav")
+    assert os.path.exists(out)
+    wav, sr = read_wav(out)
+    assert sr == SR and len(wav) == 4000 and np.isfinite(wav).all()

@@ -27,6 +27,7 @@ log = ranked_logger()
 _PREDICT_KEYS = {
     "predict.data_folder", "predict.target_folder", "predict.chain",
     "predict.second_experiment", "predict.second_ckpt",
+    "predict.streaming", "predict.chunk_frames",
 }
 _EVAL_KEYS = {"eval.rich", "eval.max_files"}
 
