@@ -441,7 +441,8 @@ class CSMGANWrapper:
         cs = chunk_frames * self.feature.hop_length
         pad = (-length) % cs
         wav = jnp.pad(wav, ((0, 0), (0, pad)))
-        if session is None or session.batch != b or session.k != chunk_frames:
+        if (session is None or session.batch != b
+                or session.k != chunk_frames or session.params is not params):
             session = CSMGANStream(
                 self, params, batch_size=b, chunk_frames=chunk_frames
             )
