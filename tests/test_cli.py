@@ -211,3 +211,19 @@ def test_cli_predict_csmgan_streaming(wav_folder):
     assert os.path.exists(out)
     wav, sr = read_wav(out)
     assert sr == SR and len(wav) == 4000 and np.isfinite(wav).all()
+
+
+def test_csmgan_experiment_config_builds():
+    """The shipping CSMGAN recipe loads and resolves to a CSMGANWrapper
+    generator with the LSGAN discriminator bank and criterion weights."""
+    from use_tpu.cli.main import _build_model
+    from use_tpu.config.config import load_config
+    from use_tpu.models.gan.csmgan import CSMGANWrapper
+
+    cfg = load_config("CSMGAN")
+    assert cfg["task"] == "lsgan"
+    gan = _build_model(cfg)
+    assert isinstance(gan.generator, CSMGANWrapper)
+    # 24 kHz front-end defaults (reference CSMGAN_Wrapper @ 24k)
+    assert gan.generator.feature.n_fft == 960
+    assert gan.generator.feature.hop_length == 480
