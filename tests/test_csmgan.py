@@ -129,3 +129,31 @@ def test_enhance_streaming_pads_and_reuses_session():
     )
     assert sess2 is sess  # compiled step reused
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=0)
+
+
+def test_csmgan_streaming_with_compression():
+    """The streaming step's magnitude-compression branch (STFTFeature
+    compression= on both the analysis and synthesis sides) matches offline."""
+    from use_tpu.models.gan.csmgan import CSMGANStream
+
+    wrapper = CSMGANWrapper(
+        n_fft=96, win_length=96, hop_length=48, input_freq=48,
+        compression="sqrt",
+        encoder_channels=(4, 4, 8), encoder_depths=(1, 1),
+        decoder_depths=(1, 1), tcn_input_dim=96, tcn_bn_dim=32,
+        tcn_hidden_dim=32, tcn_layers=2, tcn_stacks=1, in_proj_channels=4,
+    )
+    params = wrapper.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    k, hop = 2, 48
+    wav = jnp.asarray(rng.standard_normal((1, 6 * k * hop)).astype(np.float32))
+
+    offline = np.asarray(wrapper(params, {"perturbed": wav})["fake"])
+    sess = CSMGANStream(wrapper, params, batch_size=1, chunk_frames=k)
+    pieces = [
+        np.asarray(sess.step(wav[:, i * k * hop : (i + 1) * k * hop]))
+        for i in range(6)
+    ]
+    pieces.append(np.asarray(sess.flush()))
+    stream = np.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(stream, offline, atol=5e-4, rtol=1e-3)
