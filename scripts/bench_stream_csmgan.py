@@ -51,7 +51,8 @@ def main() -> None:
     for k in args.chunks:
         sess = CSMGANStream(wrapper, params, batch_size=args.batch, chunk_frames=k)
         chunk_s = k * hop / sr
-        n_chunks = max(int(args.seconds * sr / (k * hop)), args.inner + 2)
+        n_chunks = max(int(args.seconds * sr / (k * hop)),
+                       args.reps + 1 + args.inner)
         wav = 0.1 * rng.standard_normal(
             (args.batch, n_chunks * k * hop)
         ).astype(np.float32)
@@ -70,7 +71,12 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         lat = sorted(times)[len(times) // 2]
 
-        # device-side per-chunk cost: `inner` chunks chained in one jit
+        # device-side per-chunk cost: `inner` chunks chained in one jit.
+        # The session has consumed chunks [0, n_used) by now — the scan
+        # continues from its CURRENT state with the NEXT chunks, so the
+        # replayed state/data combination is a physically consistent stream
+        # (ADVICE r3: scanning chunk 0 against a post-warm-up state was not).
+        n_used = min(args.reps + 1, n_chunks)
         state0 = sess.state
         step = sess._step
 
@@ -83,7 +89,7 @@ def main() -> None:
             return jax.lax.scan(body, state, chunks)
 
         chunks = jnp.asarray(
-            wav[:, : args.inner * k * hop]
+            wav[:, n_used * k * hop : (n_used + args.inner) * k * hop]
             .reshape(args.batch, args.inner, k * hop)
         ).transpose(1, 0, 2)
         _, sums = run_scan(params, state0, chunks)

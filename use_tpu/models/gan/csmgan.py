@@ -434,15 +434,20 @@ class CSMGANWrapper:
 
         Pads L up to a chunk multiple, streams, flushes, trims back to L.
         Returns (enhanced [B, L], session) — pass the session back in for
-        subsequent same-shape calls to reuse the compiled step (the session
-        is bound to the params it was created with)."""
+        subsequent same-shape calls to reuse the compiled step. Reuse is
+        gated on OBJECT IDENTITY: the session must have been created by this
+        wrapper (same front-end config) and with this exact params pytree
+        object — an equal-but-rebuilt params tree recreates (and recompiles)
+        the session, by design, since value-comparing a 15M-param pytree per
+        call would cost more than the step itself (ADVICE r3)."""
         wav = jnp.asarray(wav)
         b, length = wav.shape
         cs = chunk_frames * self.feature.hop_length
         pad = (-length) % cs
         wav = jnp.pad(wav, ((0, 0), (0, pad)))
         if (session is None or session.batch != b
-                or session.k != chunk_frames or session.params is not params):
+                or session.k != chunk_frames or session.params is not params
+                or getattr(session, "wrapper", None) is not self):
             session = CSMGANStream(
                 self, params, batch_size=b, chunk_frames=chunk_frames
             )
@@ -510,6 +515,7 @@ class CSMGANStream:
         self.compression = feat.compression
         self.freqs = self.n_fft // 2 + 1
         self.params = params
+        self.wrapper = wrapper  # reuse gate in enhance_streaming (ADVICE r3)
 
         self._net = CSMGAN(stream=True, **wrapper._net_kwargs)
         dummy = jnp.zeros((batch_size, chunk_frames, self.freqs - 1, 2))
