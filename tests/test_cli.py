@@ -55,6 +55,13 @@ def test_cli_train_smoke(tmp_path, wav_folder):
     ])
     assert os.path.exists(os.path.join(out_dir, "metrics.csv"))
     assert os.path.isdir(os.path.join(out_dir, "checkpoints"))
+    # test-after-fit (src/train.py:90-108): best ckpt reloaded, test split
+    # run, optimized metric persisted for sweeps
+    with open(os.path.join(out_dir, "optimized_metric.json")) as f:
+        rec = json.load(f)
+    assert rec["metric"] == "val/loss_Score"
+    assert np.isfinite(rec["value"])
+    assert np.isfinite(rec["test"]["test/loss_Score"])
 
 def test_cli_sweep_smoke(tmp_path, wav_folder, monkeypatch):
     """Random-search sweep (the Hydra/Optuna multirun analog): two trials of
@@ -227,3 +234,97 @@ def test_csmgan_experiment_config_builds():
     # 24 kHz front-end defaults (reference CSMGAN_Wrapper @ 24k)
     assert gan.generator.feature.n_fft == 960
     assert gan.generator.feature.hop_length == 480
+
+
+def test_cli_rejects_non_generator_registry_name():
+    """Selecting a bare flax module (hifigan_bwe) as the LSGAN G fails with
+    guidance at build time, not an AttributeError at init (ADVICE r3)."""
+    from use_tpu.cli.main import _build_model
+    from use_tpu.config.config import load_config
+
+    cfg = load_config("CSMGAN")
+    cfg["model"]["generator"] = {"name": "hifigan_bwe"}
+    with pytest.raises(SystemExit, match="generator interface"):
+        _build_model(cfg)
+
+
+def test_cli_streaming_preflight_rejects_bad_chunk(wav_folder):
+    """predict.chunk_frames=1 fails the upfront validation with a usage
+    message instead of a raw ValueError mid-file-loop (ADVICE r3)."""
+    data, target = wav_folder
+    with pytest.raises(SystemExit, match="chunk_frames"):
+        main([
+            "predict", "experiment=CSMGAN",
+            "predict.streaming=true", "predict.chunk_frames=1",
+            f"predict.data_folder={data}", f"predict.target_folder={target}",
+        ])
+
+
+def test_cli_streaming_preflight_rejects_bad_frontend(wav_folder):
+    """A front-end override breaking n_fft == 2*hop is caught up front."""
+    data, target = wav_folder
+    with pytest.raises(SystemExit, match="win_length == n_fft"):
+        main([
+            "predict", "experiment=CSMGAN",
+            "model.generator.hop_length=240",
+            "predict.streaming=true",
+            f"predict.data_folder={data}", f"predict.target_folder={target}",
+        ])
+
+
+def test_test_after_fit_picks_best_not_last(tmp_path, wav_folder):
+    """A run whose final epoch regressed still reports its BEST checkpoint's
+    metric (reference src/train.py:90-108 reloads best_model_path; VERDICT
+    r3 item 6: sweep.py used to read the LAST CSV row instead)."""
+    import jax
+
+    from use_tpu.cli.main import (
+        _build_datamodule, _build_model, _test_after_fit,
+    )
+    from use_tpu.config.config import load_config
+    from use_tpu.engine import optim
+    from use_tpu.engine.checkpoint import CheckpointManager
+    from use_tpu.engine.state import TrainState
+    from use_tpu.utils.logging import MetricLogger
+
+    data, _ = wav_folder
+    files = [
+        os.path.join(root, n)
+        for root, _d, names in os.walk(data) for n in names
+    ]
+    jl = str(tmp_path / "corpus.jsonl")
+    with open(jl, "w") as f:
+        for p in files:
+            f.write(json.dumps({"file_path": p, "duration": 0.5,
+                                "sample_rate": SR}) + "\n")
+    cfg = load_config("SGMSE_debug", [
+        f"data.clean_json_path={jl}", f"data.noise_json_path={jl}",
+        "data.reverb_use_FRA=true", "data.min_duration_seconds=0.1",
+        "data.speech_splice_seconds=1", "data.num_workers=0",
+    ])
+    model = _build_model(cfg)
+    dm = _build_datamodule(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # build the state exactly as the engine/restore template does (the
+    # grad_clip transform changes the opt_state structure)
+    t = cfg["train"]
+    tx = optim.adam(t["lr"], t["weight_decay"],
+                    grad_clip=t.get("grad_clip", 100.0), params_example=params)
+    state = TrainState.create(params, tx, ema_decay=t.get("ema_decay", 0.0))
+
+    out_dir = str(tmp_path / "run")
+    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"),
+                            monitor="val/loss_Score")
+    mgr.save(0, state, {"val/loss_Score": 1.0})   # best
+    mgr.save(1, state, {"val/loss_Score": 2.0})   # last epoch regressed
+    mgr.close()
+    history = [
+        {"epoch": 0, "val/loss_Score": 1.0},
+        {"epoch": 1, "val/loss_Score": 2.0},
+    ]
+    _test_after_fit(model, cfg, dm, out_dir, history, MetricLogger())
+    with open(os.path.join(out_dir, "optimized_metric.json")) as f:
+        rec = json.load(f)
+    assert rec["best_epoch"] == 0
+    assert rec["value"] == 1.0
+    assert np.isfinite(rec["test"]["test/loss_Score"])

@@ -81,9 +81,23 @@ def _build_model(cfg: Dict):
         gcfg = dict(cfg["model"]["generator"])
         # reference: the generator is any _target_ class the GANModule drives
         # uniformly (configs/model/LSGAN.yaml:3-13); select by registry name
-        gen = GeneratorRegistry.get_by_name(
-            gcfg.pop("name", "ncsnpp_wrapper")
-        )(**gcfg)
+        gen_name = gcfg.pop("name", "ncsnpp_wrapper")
+        gen = GeneratorRegistry.get_by_name(gen_name)(**gcfg)
+        # the LSGAN engine drives G through init_params/target_len/
+        # __call__(params, batch, rng, train); bare flax generators in the
+        # registry (hifigan_bwe, hifigan_generator) don't implement that
+        # interface — fail here with guidance instead of an AttributeError
+        # deep inside model init (ADVICE r3)
+        missing = [
+            a for a in ("init_params", "target_len") if not hasattr(gen, a)
+        ]
+        if missing:
+            raise SystemExit(
+                f"model.generator.name={gen_name} resolves "
+                f"{type(gen).__name__}, which lacks the LSGAN generator "
+                f"interface ({', '.join(missing)}); usable generators for "
+                "the GAN task are ncsnpp_wrapper and csmgan"
+            )
         disc = DiscriminatorRegistry.get_by_name(cfg["model"]["discriminator"])()
         lcfg = losses.HifiganGLossConfig(
             **cfg["model"]["g_loss"], enhanced_key=cfg["model"].get("enhanced_key", "fake")
@@ -92,12 +106,37 @@ def _build_model(cfg: Dict):
     raise SystemExit(f"unknown task {cfg['task']}")
 
 
+def resolve_auto_batch(cfg: Dict, n_devices: int) -> None:
+    """Slice-aware recipe resolution (VERDICT r3 item 7), in place:
+
+      data.batch_size: auto      -> micro_batch_per_device x n_devices
+                                    (the global batch scales with the slice,
+                                    keeping per-device work constant)
+      train.accumulate_grad_batches: auto
+                                 -> max(1, train.effective_batch // batch)
+                                    (accumulation shrinks as the slice grows,
+                                    holding the effective batch at the
+                                    recipe's target where divisible)
+
+    The reference couples global batch to world size by division
+    (distort_datamodule.py:666-672); a TPU-first recipe scales the other way.
+    """
+    d, t = cfg["data"], cfg["train"]
+    if d.get("batch_size") == "auto":
+        micro = int(d.get("micro_batch_per_device", 1))
+        d["batch_size"] = micro * n_devices
+    if t.get("accumulate_grad_batches") == "auto":
+        eff = int(t.get("effective_batch", d.get("batch_size", 4)))
+        t["accumulate_grad_batches"] = max(1, eff // int(d["batch_size"]))
+
+
 def _build_datamodule(cfg: Dict):
     from use_tpu.data.datamodule import DistortDataModule
     from use_tpu.data.distort_dataset import DistortConfig
 
     import jax
 
+    resolve_auto_batch(cfg, jax.device_count())
     d = dict(cfg["data"])
     batch_size = d.pop("batch_size", 4)
     num_workers = d.pop("num_workers", 4)
@@ -108,6 +147,98 @@ def _build_datamodule(cfg: Dict):
         train_cfg=dcfg, batch_size=batch_size, num_workers=num_workers,
         seed=cfg["train"].get("seed", 0), world_size=jax.process_count(),
         process_index=jax.process_index(), overfit_items=overfit_items,
+    )
+
+
+def _test_split_means(model, cfg, state, dm) -> Dict[str, float]:
+    """Mean metrics of the test distortion split under `state` (the body of
+    reference trainer.test, src/eval.py:75 / SGMSE_module.test_step:61-63)."""
+    import jax
+    import jax.numpy as jnp
+
+    from use_tpu.engine.train import make_gan_eval_step, make_sgmse_eval_step
+
+    def floats(batch):
+        return {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if hasattr(v, "dtype")
+            and np.issubdtype(np.asarray(v).dtype, np.floating)
+        }
+
+    rng = jax.random.PRNGKey(0)
+    rows = []
+    if cfg["task"] == "sgmse":
+        eval_fn = make_sgmse_eval_step(model)
+        for batch in dm.test_dataloader():
+            rng, sub = jax.random.split(rng)
+            rows.append({"loss_Score": float(
+                eval_fn(state, floats(batch), sub)["loss_Score"]
+            )})
+    else:
+        eval_fn = make_gan_eval_step(model)
+        for batch in dm.test_dataloader():
+            rows.append(
+                {k: float(v) for k, v in eval_fn(state, floats(batch)).items()}
+            )
+    return {
+        f"test/{k}": float(np.mean([r[k] for r in rows]))
+        for k in (rows[0] if rows else {})
+    }
+
+
+def _test_after_fit(model, cfg, dm, out_dir: str, history: List[Dict],
+                    logger: MetricLogger) -> None:
+    """Reload the BEST checkpoint after fit, test it, and persist the
+    optimized metric for sweeps (reference src/train.py:90-108: trainer.test
+    on best_model_path + get_metric_value). The persisted value is the best
+    checkpoint's monitored metric — a trial whose final epoch regressed
+    still reports its best, and the test/* row comes from that same best
+    state, not the last epoch's."""
+    from use_tpu.engine.checkpoint import CheckpointManager
+
+    monitor = "val/loss_Score" if cfg["task"] == "sgmse" else "val/loss_G"
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir, monitor=monitor)
+    best = mgr.best_step()
+    if best is None:
+        best = mgr.latest_step()
+    mgr.close()
+    if best is None:
+        log.warning("no checkpoint to test after fit")
+        return
+    state = _restore_train_state(ckpt_dir, cfg, model, step=int(best))
+    means = _test_split_means(model, cfg, state, dm)
+    logger.log({"step": int(best), **means})
+
+    best_rows = [h for h in history if h.get("epoch") == int(best)]
+    best_val = best_rows[-1].get(monitor) if best_rows else None
+    explicit = "optimized_metric" in cfg["train"]
+    metric_name = cfg["train"].get("optimized_metric", monitor)
+    candidates = dict(means)
+    if best_val is not None and np.isfinite(best_val):
+        candidates[monitor] = float(best_val)
+    if metric_name not in candidates:
+        if explicit or not candidates:
+            raise SystemExit(
+                f"train.optimized_metric={metric_name!r} not found; "
+                f"available: {sorted(candidates)}"
+            )
+        metric_name = sorted(candidates)[0]  # e.g. val never ran
+    record = {
+        "metric": metric_name,
+        "value": float(candidates[metric_name]),
+        "best_epoch": int(best),
+        "monitor": {monitor: best_val},
+        "test": means,
+    }
+    import json
+
+    with open(os.path.join(out_dir, "optimized_metric.json"), "w") as f:
+        json.dump(record, f, indent=2)
+    log.info(
+        f"test-after-fit @ epoch {best}: "
+        + " ".join(f"{k}={v:.5f}" for k, v in means.items())
+        + f"; optimized {metric_name}={record['value']:.5g}"
     )
 
 
@@ -126,7 +257,7 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
     dm = _build_datamodule(cfg)
     t = cfg["train"]
     if cfg["task"] == "sgmse":
-        loop.fit_sgmse(
+        result = loop.fit_sgmse(
             model, dm, lr=t["lr"], weight_decay=t["weight_decay"],
             grad_clip=t.get("grad_clip", 100.0),
             accumulate_grad_batches=t.get("accumulate_grad_batches", 1),
@@ -138,9 +269,10 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
             rich_eval_every=t.get("rich_eval_every"),
             rich_eval_files=t.get("rich_eval_files", 2),
             rich_eval_N=t.get("rich_eval_N", 10),
+            mesh_idle=t.get("mesh_idle", "error"),
         )
     else:
-        loop.fit_lsgan(
+        result = loop.fit_lsgan(
             model, dm, g_lr=t["g_lr"], d_lr=t["d_lr"],
             weight_decay=t["weight_decay"],
             accumulate_grad_batches=t.get("accumulate_grad_batches", 1),
@@ -148,7 +280,9 @@ def cmd_train(experiment: str, overrides: List[str], extras: Dict[str, str]) -> 
             seed=t.get("seed", 0), ckpt_dir=os.path.join(out_dir, "checkpoints"),
             resume=bool(extras.get("ckpt_path")), logger=logger,
             async_ckpt=bool(t.get("async_ckpt", False)),
+            mesh_idle=t.get("mesh_idle", "error"),
         )
+    _test_after_fit(model, cfg, dm, out_dir, result.history, logger)
     log.info(f"training done -> {out_dir}")
 
 
@@ -159,9 +293,10 @@ def _is_manager_dir(path: str) -> bool:
     )
 
 
-def _restore_train_state(ckpt_path: str, cfg, model):
+def _restore_train_state(ckpt_path: str, cfg, model, step: Optional[int] = None):
     """Restore a full training checkpoint (CheckpointManager layout) into a
-    TrainState / GANTrainState template built from the experiment config."""
+    TrainState / GANTrainState template built from the experiment config.
+    step=None restores the latest; pass a step to pick e.g. the best."""
     import jax
 
     from use_tpu.engine import optim
@@ -187,7 +322,7 @@ def _restore_train_state(ckpt_path: str, cfg, model):
             d=TrainState.create(d_params, d_tx),
         )
     mgr = CheckpointManager(ckpt_path)
-    state = mgr.restore(template=template)
+    state = mgr.restore(step=step, template=template)
     mgr.close()
     return state
 
@@ -331,6 +466,24 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
                 "predict.streaming=true requires task=lsgan with a "
                 "streamable generator (model.generator.name=csmgan) and no "
                 "predict.chain"
+            )
+        # validate the stream-framing constraints up front instead of a raw
+        # ValueError/NotImplementedError from the CSMGANStream constructor
+        # mid-file-loop (ADVICE r3)
+        if stream_chunk < 2:
+            raise SystemExit(
+                f"predict.chunk_frames={stream_chunk} invalid: streaming "
+                "needs >= 2 frames per chunk (the first chunk primes the "
+                "centered-STFT reflection)"
+            )
+        feat = model.generator.feature
+        if feat.cfg.wl != feat.n_fft or feat.n_fft != 2 * feat.hop_length:
+            raise SystemExit(
+                "predict.streaming=true requires the generator front-end to "
+                "satisfy win_length == n_fft == 2*hop (got n_fft="
+                f"{feat.n_fft}, win_length={feat.cfg.wl}, "
+                f"hop={feat.hop_length}); use the csmgan defaults or adjust "
+                "model.generator.* overrides"
             )
 
     def run_sgmse(m, p, batch, rng, out_key):

@@ -177,12 +177,27 @@ def main(argv: List[str] = None) -> None:
         out_dir = os.path.join(sweep_dir, f"trial{trial}")
         log.info(f"trial {trial}: {sampled}")
         cmd_train(experiment, overrides, {"out_dir": out_dir})
-        # read the final metric row from the CSV
-        import csv
+        # the optimized metric comes from cmd_train's test-after-fit record
+        # (best checkpoint, reference src/train.py:90-108) — a trial whose
+        # final epoch regressed still reports its best. The CSV last row is
+        # only a fallback for metrics outside the record.
+        value = None
+        opt_path = os.path.join(out_dir, "optimized_metric.json")
+        if os.path.exists(opt_path):
+            with open(opt_path) as f:
+                rec = json.load(f)
+            if rec.get("metric") == metric:
+                value = float(rec["value"])
+            elif metric in rec.get("test", {}):
+                value = float(rec["test"][metric])
+            elif metric in rec.get("monitor", {}) and rec["monitor"][metric] is not None:
+                value = float(rec["monitor"][metric])
+        if value is None:
+            import csv
 
-        with open(os.path.join(out_dir, "metrics.csv")) as f:
-            rows = list(csv.DictReader(f))
-        value = float(rows[-1][metric])
+            with open(os.path.join(out_dir, "metrics.csv")) as f:
+                rows = list(csv.DictReader(f))
+            value = float(rows[-1][metric])
         results.append((value, sampled))
         log.info(f"trial {trial}: {metric}={value:.5g}")
 

@@ -105,7 +105,7 @@ def _accum_batches(loader, accum: int, max_steps: Optional[int] = None):
         yield len(group), _stack_group(group)
 
 
-def _resolve_mesh(mesh, local_batch: int):
+def _resolve_mesh(mesh, local_batch: int, on_idle: str = "warn"):
     """mesh='auto' builds the default data-parallel mesh over all devices
     (the reference's DDP-by-default, configs/trainer/ddp.yaml); an explicit
     Mesh is used as-is; None runs single-device."""
@@ -114,7 +114,7 @@ def _resolve_mesh(mesh, local_batch: int):
     global_batch = local_batch * jax.process_count()
     if len(jax.devices()) == 1:
         return None
-    return default_mesh(global_batch)
+    return default_mesh(global_batch, on_idle=on_idle)
 
 
 class _StepCache:
@@ -157,15 +157,19 @@ def fit_sgmse(
     rich_eval_every: Optional[int] = None,
     rich_eval_files: int = 2,
     rich_eval_N: int = 10,
+    mesh_idle: str = "warn",
 ) -> FitResult:
     """Score-matching training (SGMSE_module semantics), data-parallel over
     the device mesh by default (reference trains DDP out of the box,
     configs/trainer/ddp.yaml:1-10): the batch axis of every microbatch is
     sharded on the mesh's 'data' axis and XLA derives the gradient
-    all-reduce. Pass mesh=None for single-device, or an explicit Mesh."""
+    all-reduce. Pass mesh=None for single-device, or an explicit Mesh.
+    mesh_idle='error' refuses to idle more than half the slice (the CLI
+    default; see parallel.mesh.default_mesh)."""
     scheduler = scheduler or {"step_size": 30, "gamma": 0.5}
     mesh = _resolve_mesh(
-        mesh, getattr(datamodule, "local_batch", getattr(datamodule, "batch_size", 1))
+        mesh, getattr(datamodule, "local_batch", getattr(datamodule, "batch_size", 1)),
+        on_idle=mesh_idle,
     )
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
@@ -283,6 +287,7 @@ def fit_lsgan(
     logger: Optional[MetricLogger] = None,
     async_ckpt: bool = False,
     mesh: Any = "auto",
+    mesh_idle: str = "warn",
 ) -> FitResult:
     """Adversarial training (GANModule.training_step semantics), data-parallel
     over the device mesh by default (see fit_sgmse). Runs a validation pass
@@ -291,7 +296,8 @@ def fit_lsgan(
     true val/loss_G."""
     scheduler = scheduler or {"step_size": 30, "gamma": 0.5}
     mesh = _resolve_mesh(
-        mesh, getattr(datamodule, "local_batch", getattr(datamodule, "batch_size", 1))
+        mesh, getattr(datamodule, "local_batch", getattr(datamodule, "batch_size", 1)),
+        on_idle=mesh_idle,
     )
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
