@@ -89,15 +89,108 @@ def soak_lsgan(dm, epochs: int) -> list:
     return [row["train/loss_G"] for row in res.history]
 
 
+SOAK_SR = SR
+
+
+def quality_gate(epochs: int = 10, steps_per_epoch: int = 50) -> bool:
+    """Learn -> enhance -> SI-SDR(enhanced) > SI-SDR(noisy) on the chip.
+
+    The on-device counterpart of tests/test_learning.py (VERDICT r3 item 1):
+    overfit a small score model on fixed (clean, noisy) pairs through
+    fit_sgmse, then reverse-SDE-enhance HELD-OUT noisy items and report the
+    SI-SDR gain. Results are recorded in BASELINE.md. Reference analog:
+    sgmse/util/inference.py:23-101 run per val epoch.
+    """
+    import jax
+    import numpy as np
+
+    from use_tpu.engine.evaluate import evaluate_model
+    from use_tpu.engine.loop import fit_sgmse
+    from use_tpu.models.sgmse.score_model import ScoreModel
+    from use_tpu.utils.metrics import si_sdr
+
+    hop, n_fft, frames = 32, 126, 32
+    length = (frames - 1) * hop
+
+    def make_pair(seed, snr_db=5.0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(length) / SR
+        f0 = 150 + 60 * rng.random()
+        clean = sum(
+            (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
+            for k in range(1, 12)
+        )
+        clean = (0.3 * clean / np.max(np.abs(clean))).astype(np.float32)
+        noise = rng.standard_normal(length).astype(np.float32)
+        noise *= np.sqrt(
+            np.mean(clean**2) / np.mean(noise**2) / 10 ** (snr_db / 10)
+        )
+        return clean, (clean + noise).astype(np.float32)
+
+    class DM:
+        local_batch = 4
+
+        def train_dataloader(self):
+            pairs = [make_pair(s) for s in range(4)]
+            c = np.stack([p[0] for p in pairs])
+            n = np.stack([p[1] for p in pairs])
+            for _ in range(steps_per_epoch):
+                yield {"clean": c, "perturbed": n}
+
+        def val_dataloader(self):
+            pairs = [make_pair(s) for s in range(4)]
+            yield {"clean": np.stack([p[0] for p in pairs]),
+                   "perturbed": np.stack([p[1] for p in pairs])}
+
+    model = ScoreModel(
+        backbone="ncsnpp", sde="ouve", condition="noisy", sde_input="noisy",
+        n_fft=n_fft, hop_length=hop, num_frames=frames,
+        backbone_kwargs=dict(nf=24, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    res = fit_sgmse(
+        model, DM(), lr=2e-3, accumulate_grad_batches=1, max_epochs=epochs,
+        seed=0, mesh=None, scheduler={"step_size": 1000, "gamma": 1.0},
+    )
+    pairs = [
+        {"clean": c, "perturbed": p}
+        for c, p in (make_pair(100 + s) for s in range(2))
+    ]
+
+    def enhance_fn(noisy, sub):
+        out = model.sample(res.state.params, {"perturbed": noisy[None]}, sub, N=30)
+        return np.asarray(out["enhanced"])[0]
+
+    ev = evaluate_model(enhance_fn, pairs, jax.random.PRNGKey(1), num_figures=0)
+    noisy_sdr = float(np.mean(
+        [si_sdr(p["clean"], p["perturbed"]) for p in pairs]
+    ))
+    enhanced_sdr = ev["metrics"]["si_sdr"]
+    print(json.dumps({
+        "quality_gate": "sgmse_overfit",
+        "steps": epochs * steps_per_epoch,
+        "si_sdr_noisy_db": round(noisy_sdr, 2),
+        "si_sdr_enhanced_db": round(enhanced_sdr, 2),
+        "gain_db": round(enhanced_sdr - noisy_sdr, 2),
+    }))
+    return enhanced_sdr > noisy_sdr + 2.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--family", choices=("sgmse", "lsgan", "both"), default="both")
+    ap.add_argument("--quality-gate", action="store_true",
+                    help="run the learn->enhance SI-SDR gate instead of the "
+                         "loss-only soak")
     args = ap.parse_args()
 
     import jax
 
     print("devices:", jax.devices())
+    if args.quality_gate:
+        ok = quality_gate()
+        print("QUALITY GATE", "PASS" if ok else "FAIL")
+        sys.exit(0 if ok else 1)
     with tempfile.TemporaryDirectory() as root:
         jsons = make_corpus(root)
         dm = build_dm(jsons)

