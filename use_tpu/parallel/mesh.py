@@ -28,12 +28,24 @@ def init_distributed() -> None:
 
     Single-process (one host, local devices only) is a no-op. Reference
     analog: Lightning's DDP process-group init, done implicitly
-    (src/train.py:90 -> trainer.fit).
+    (src/train.py:90 -> trainer.fit). Under a cluster manager (SLURM etc.)
+    jax auto-detects process topology; for manual launches — including the
+    2-process CPU ddp_sim analog (tests/test_ddp_sim.py, reference
+    configs/trainer/ddp_sim.yaml) — set JAX_COORDINATOR_ADDRESS plus
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
+    )
+    if not addr:
+        return
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(coordinator_address=addr, **kwargs)
 
 
 def make_mesh(

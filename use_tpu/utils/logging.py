@@ -18,18 +18,41 @@ from typing import Dict, Optional
 import jax
 
 
+def _dist_rank() -> int:
+    """Process rank WITHOUT initializing the XLA backend.
+
+    jax.process_index() would instantiate the backend — fatal when called
+    (e.g. by a module-level ranked_logger) before jax.distributed.initialize
+    in a multi-process launch, and it would also freeze rank 0 into every
+    logger created before init. The distributed global_state carries the
+    rank as a plain int (0 when single-process / uninitialized)."""
+    try:
+        from jax._src import distributed
+
+        return int(distributed.global_state.process_id or 0)
+    except Exception:  # pragma: no cover — jax internals moved
+        return jax.process_index() if jax.process_count() > 1 else 0
+
+
+class _RankFormatter(logging.Formatter):
+    """Resolves the rank prefix lazily at emit time, so loggers created
+    before jax.distributed.initialize still report the right rank."""
+
+    def format(self, record):
+        record.rank = _dist_rank()
+        return super().format(record)
+
+
 def ranked_logger(name: str = "use_tpu") -> logging.Logger:
     """Logger whose records are prefixed with the process rank and which
     drops non-rank-zero records (RankedLogger rank_zero_only behavior)."""
     logger = logging.getLogger(name)
     if not logger.handlers:
         handler = logging.StreamHandler(sys.stdout)
-        rank = jax.process_index() if jax.process_count() > 1 else 0
         handler.setFormatter(
-            logging.Formatter(f"[rank {rank}] %(asctime)s %(levelname)s %(message)s")
+            _RankFormatter("[rank %(rank)s] %(asctime)s %(levelname)s %(message)s")
         )
-        if rank != 0:
-            handler.addFilter(lambda record: False)
+        handler.addFilter(lambda record: _dist_rank() == 0)
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
     return logger
@@ -57,7 +80,7 @@ class MetricLogger:
         self._neptune = None
         self._aim = None
         self._log = ranked_logger()
-        rank0 = jax.process_count() == 1 or jax.process_index() == 0
+        rank0 = _dist_rank() == 0
         if tensorboard_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
