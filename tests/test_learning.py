@@ -112,6 +112,28 @@ def test_sgmse_learns_to_enhance():
         f"-> {enhanced_sdr:.2f} dB (enhanced)"
     )
 
+    # chunked single-utterance sampling (the batch-1 latency treatment,
+    # sample_chunked) must preserve the learned enhancement quality on a
+    # LONG held-out utterance: same trained model, full-clip vs chunk-4
+    # overlap-crossfade, both judged against clean
+    long_clean, long_noisy = _make_pair(4 * length, 300)
+    full = model.sample(
+        res.state.params, {"perturbed": long_noisy[None]},
+        jax.random.PRNGKey(2), N=30,
+    )["enhanced"]
+    chunked = model.sample_chunked(
+        res.state.params, {"perturbed": long_noisy[None]},
+        jax.random.PRNGKey(2), n_chunks=4, overlap_frames=8, N=30,
+    )["enhanced"]
+    sdr_noisy = si_sdr(long_clean, long_noisy)
+    sdr_full = si_sdr(long_clean, np.asarray(full)[0])
+    sdr_chunk = si_sdr(long_clean, np.asarray(chunked)[0])
+    assert sdr_chunk > sdr_noisy + 2.0, (sdr_noisy, sdr_full, sdr_chunk)
+    assert sdr_chunk > sdr_full - 1.5, (
+        f"chunked sampling degrades quality: full {sdr_full:.2f} dB vs "
+        f"chunked {sdr_chunk:.2f} dB"
+    )
+
 
 class _TinyMPD(fnn.Module):
     """Small MPD-only composite with the [bank][disc] output structure."""

@@ -122,3 +122,40 @@ def test_ode_sampler_runs():
     batch = {"perturbed": jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))}
     out = model.sample(params, batch, jax.random.PRNGKey(2), sampler_type="ode", N=2)
     assert np.all(np.isfinite(np.asarray(out["enhanced"])))
+
+
+def test_sample_chunked_shapes_and_fallback():
+    """sample_chunked (the batch-1 latency treatment): length preserved,
+    finite output, hop-aligned chunk framing; short inputs and n_chunks<=1
+    fall back to one full-clip sample; batched inputs are rejected."""
+    import pytest
+
+    model = ScoreModel(
+        backbone="ncsnpp", sde="ouve", condition="noisy", sde_input="noisy",
+        n_fft=254, hop_length=64, num_frames=32,
+        backbone_kwargs=dict(nf=8, ch_mult=(1, 1), num_res_blocks=1),
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((1, 9000)).astype(np.float32))
+
+    out = model.sample_chunked(
+        params, {"perturbed": wav}, jax.random.PRNGKey(2),
+        n_chunks=4, overlap_frames=4, N=2,
+    )
+    assert out["enhanced"].shape == wav.shape
+    assert np.all(np.isfinite(np.asarray(out["enhanced"])))
+
+    # chunking degenerates to the plain path when the overlap would swallow
+    # the hop (tiny input)
+    short = jnp.asarray(rng.standard_normal((1, 600)).astype(np.float32))
+    out = model.sample_chunked(
+        params, {"perturbed": short}, jax.random.PRNGKey(2),
+        n_chunks=8, overlap_frames=4, N=2,
+    )
+    assert out["enhanced"].shape == short.shape
+
+    with pytest.raises(ValueError, match="single-utterance"):
+        model.sample_chunked(
+            params, {"perturbed": jnp.zeros((2, 4000))}, jax.random.PRNGKey(2)
+        )

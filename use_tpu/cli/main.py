@@ -488,12 +488,27 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
 
     def run_sgmse(m, p, batch, rng, out_key):
         extra = {k: icfg[k] for k in ("window", "tol") if k in icfg}
-        out = m.sample(
-            p, batch, rng,
+        kw = dict(
             sampler_type=icfg.get("sampler_type", "pc"), N=icfg.get("N", 50),
             corrector_steps=icfg.get("corrector_steps", 1),
             snr=icfg.get("snr", 0.5), **extra,
         )
+        # single-utterance latency default: overlapped chunk-8 sampling
+        # rides the efficient batch-8 MXU path (1.71x vs full-clip batch-1,
+        # scripts/bench_batch1.py; quality-gated in tests/test_learning.py).
+        # infer.chunks=1 disables; hybrid conditioning ('fake') and short
+        # clips run full-clip.
+        chunks = int(icfg.get("chunks", 8))
+        wav_in = batch["perturbed"]
+        if (chunks > 1 and wav_in.shape[0] == 1 and "fake" not in batch
+                and kw["sampler_type"] == "pc"
+                and wav_in.shape[-1] >= 5 * 24000):
+            out = m.sample_chunked(
+                p, batch, rng, n_chunks=chunks,
+                overlap_frames=int(icfg.get("chunk_overlap_frames", 32)), **kw
+            )
+        else:
+            out = m.sample(p, batch, rng, **kw)
         return out, out[out_key]
 
     n_done = 0
