@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="float32",
+                    help="generator backbone compute dtype (bfloat16 applies "
+                         "the treatment that took SGMSE training +69%%; "
+                         "params/normalization statistics stay f32)")
     args = ap.parse_args()
 
     from use_tpu.cli.main import _build_model
@@ -38,7 +42,9 @@ def main() -> None:
     from use_tpu.engine.state import GANTrainState, TrainState
     from use_tpu.engine.train import make_gan_train_step
 
-    cfg = load_config("LSGAN")
+    cfg = load_config(
+        "LSGAN", [f"model.generator.backbone_kwargs.dtype={args.dtype}"]
+    )
     gan = _build_model(cfg)
     g_params, d_params = gan.init_params(jax.random.PRNGKey(0))
     t = cfg["train"]
@@ -79,6 +85,7 @@ def main() -> None:
                 "unit": "audio-s/s",
                 "batch": args.batch,
                 "accum": args.accum,
+                "dtype": args.dtype,
                 "step_ms": round(wall * 1e3, 1),
                 "loss_G": round(float(metrics["loss_G"]), 4),
                 "loss_D": round(float(metrics["loss_D"]), 4),
