@@ -92,73 +92,46 @@ def soak_lsgan(dm, epochs: int) -> list:
 SOAK_SR = SR
 
 
-def quality_gate(epochs: int = 10, steps_per_epoch: int = 50) -> bool:
-    """Learn -> enhance -> SI-SDR(enhanced) > SI-SDR(noisy) on the chip.
+def _gate_pair(length, seed, snr_db):
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / SR
+    f0 = 150 + 60 * rng.random()
+    clean = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
+        for k in range(1, 12)
+    )
+    clean = (0.3 * clean / np.max(np.abs(clean))).astype(np.float32)
+    noise = rng.standard_normal(length).astype(np.float32)
+    noise *= np.sqrt(
+        np.mean(clean**2) / np.mean(noise**2) / 10 ** (snr_db / 10)
+    )
+    return clean, (clean + noise).astype(np.float32)
 
-    The on-device counterpart of tests/test_learning.py (VERDICT r3 item 1):
-    overfit a small score model on fixed (clean, noisy) pairs through
-    fit_sgmse, then reverse-SDE-enhance HELD-OUT noisy items and report the
-    SI-SDR gain. Results are recorded in BASELINE.md. Reference analog:
-    sgmse/util/inference.py:23-101 run per val epoch.
-    """
-    import jax
-    import numpy as np
 
-    from use_tpu.engine.evaluate import evaluate_model
-    from use_tpu.engine.loop import fit_sgmse
-    from use_tpu.models.sgmse.score_model import ScoreModel
-    from use_tpu.utils.metrics import si_sdr
-
-    hop, n_fft, frames = 32, 126, 32
-    length = (frames - 1) * hop
-
-    def make_pair(seed, snr_db=5.0):
-        rng = np.random.default_rng(seed)
-        t = np.arange(length) / SR
-        f0 = 150 + 60 * rng.random()
-        clean = sum(
-            (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
-            for k in range(1, 12)
-        )
-        clean = (0.3 * clean / np.max(np.abs(clean))).astype(np.float32)
-        noise = rng.standard_normal(length).astype(np.float32)
-        noise *= np.sqrt(
-            np.mean(clean**2) / np.mean(noise**2) / 10 ** (snr_db / 10)
-        )
-        return clean, (clean + noise).astype(np.float32)
-
+def _gate_dm(length, steps_per_epoch, snr_db):
     class DM:
         local_batch = 4
 
         def train_dataloader(self):
-            pairs = [make_pair(s) for s in range(4)]
+            pairs = [_gate_pair(length, s, snr_db) for s in range(4)]
             c = np.stack([p[0] for p in pairs])
             n = np.stack([p[1] for p in pairs])
             for _ in range(steps_per_epoch):
                 yield {"clean": c, "perturbed": n}
 
         def val_dataloader(self):
-            pairs = [make_pair(s) for s in range(4)]
+            pairs = [_gate_pair(length, s, snr_db) for s in range(4)]
             yield {"clean": np.stack([p[0] for p in pairs]),
                    "perturbed": np.stack([p[1] for p in pairs])}
 
-    model = ScoreModel(
-        backbone="ncsnpp", sde="ouve", condition="noisy", sde_input="noisy",
-        n_fft=n_fft, hop_length=hop, num_frames=frames,
-        backbone_kwargs=dict(nf=24, ch_mult=(1, 1), num_res_blocks=1),
-    )
-    res = fit_sgmse(
-        model, DM(), lr=2e-3, accumulate_grad_batches=1, max_epochs=epochs,
-        seed=0, mesh=None, scheduler={"step_size": 1000, "gamma": 1.0},
-    )
-    pairs = [
-        {"clean": c, "perturbed": p}
-        for c, p in (make_pair(100 + s) for s in range(2))
-    ]
+    return DM()
 
-    def enhance_fn(noisy, sub):
-        out = model.sample(res.state.params, {"perturbed": noisy[None]}, sub, N=30)
-        return np.asarray(out["enhanced"])[0]
+
+def _gate_report(tag, steps, enhance_fn, pairs, margin_db):
+    import jax
+
+    from use_tpu.engine.evaluate import evaluate_model
+    from use_tpu.utils.metrics import si_sdr
 
     ev = evaluate_model(enhance_fn, pairs, jax.random.PRNGKey(1), num_figures=0)
     noisy_sdr = float(np.mean(
@@ -166,13 +139,106 @@ def quality_gate(epochs: int = 10, steps_per_epoch: int = 50) -> bool:
     ))
     enhanced_sdr = ev["metrics"]["si_sdr"]
     print(json.dumps({
-        "quality_gate": "sgmse_overfit",
-        "steps": epochs * steps_per_epoch,
+        "quality_gate": tag,
+        "steps": steps,
         "si_sdr_noisy_db": round(noisy_sdr, 2),
         "si_sdr_enhanced_db": round(enhanced_sdr, 2),
         "gain_db": round(enhanced_sdr - noisy_sdr, 2),
     }))
-    return enhanced_sdr > noisy_sdr + 2.0
+    return enhanced_sdr > noisy_sdr + margin_db
+
+
+def quality_gate(epochs: int = 10, steps_per_epoch: int = 50,
+                 family: str = "both") -> bool:
+    """Learn -> enhance -> SI-SDR(enhanced) > SI-SDR(noisy) on the chip.
+
+    The on-device counterpart of tests/test_learning.py (VERDICT r3 item 1):
+    overfit both families on fixed (clean, noisy) pairs through the real
+    engines, then enhance HELD-OUT noisy items and report the SI-SDR gain.
+    Results are recorded in BASELINE.md. Reference analog:
+    sgmse/util/inference.py:23-101 run per val epoch.
+    """
+    import jax
+
+    ok = True
+    if family in ("sgmse", "both"):
+        from use_tpu.engine.loop import fit_sgmse
+        from use_tpu.models.sgmse.score_model import ScoreModel
+
+        hop, n_fft, frames = 32, 126, 32
+        length = (frames - 1) * hop
+        model = ScoreModel(
+            backbone="ncsnpp", sde="ouve", condition="noisy",
+            sde_input="noisy", n_fft=n_fft, hop_length=hop,
+            num_frames=frames,
+            backbone_kwargs=dict(nf=24, ch_mult=(1, 1), num_res_blocks=1),
+        )
+        res = fit_sgmse(
+            model, _gate_dm(length, steps_per_epoch, 5.0), lr=2e-3,
+            accumulate_grad_batches=1, max_epochs=epochs, seed=0, mesh=None,
+            scheduler={"step_size": 1000, "gamma": 1.0},
+        )
+        pairs = [
+            {"clean": c, "perturbed": p}
+            for c, p in (_gate_pair(length, 100 + s, 5.0) for s in range(2))
+        ]
+
+        def enhance_fn(noisy, sub):
+            out = model.sample(
+                res.state.params, {"perturbed": noisy[None]}, sub, N=30
+            )
+            return np.asarray(out["enhanced"])[0]
+
+        ok &= _gate_report(
+            "sgmse_overfit", epochs * steps_per_epoch, enhance_fn, pairs, 2.0
+        )
+
+    if family in ("lsgan", "both"):
+        import flax.linen as fnn
+
+        from use_tpu.engine.loop import fit_lsgan
+        from use_tpu.models.gan import losses
+        from use_tpu.models.gan.discriminators import MultiPeriodDiscriminator
+        from use_tpu.models.gan.generator import NCSNPPWrapper
+        from use_tpu.models.gan.lsgan import LSGAN
+
+        class TinyMPD(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                logits, fmaps = MultiPeriodDiscriminator(
+                    periods=(2, 3), name="MPD")(x)
+                return [logits], [fmaps]
+
+        length = (32 - 1) * 32
+        gen = NCSNPPWrapper(
+            n_fft=126, hop_length=32, num_frames=32,
+            backbone_kwargs=dict(nf=16, ch_mult=(1, 1), num_res_blocks=1),
+        )
+        gan = LSGAN(
+            generator=gen, discriminator=TinyMPD(),
+            g_loss_cfg=losses.HifiganGLossConfig(
+                sampling_rate=SR, alpha_wav_l1=1.0),
+        )
+        res = fit_lsgan(
+            gan, _gate_dm(length, steps_per_epoch, 0.0), g_lr=2e-3,
+            d_lr=5e-4, accumulate_grad_batches=1,
+            max_epochs=max(epochs // 2, 5), seed=0, mesh=None,
+            scheduler={"step_size": 1000, "gamma": 1.0},
+        )
+        pairs = [
+            {"clean": c, "perturbed": p}
+            for c, p in (_gate_pair(length, 100 + s, 0.0) for s in range(2))
+        ]
+
+        def g_enhance_fn(noisy, sub):
+            out = gan.enhance(res.state.g.params, {"perturbed": noisy[None]})
+            return np.asarray(out["fake"])[0]
+
+        ok &= _gate_report(
+            "lsgan_overfit", max(epochs // 2, 5) * steps_per_epoch,
+            g_enhance_fn, pairs, 1.0,
+        )
+    return ok
 
 
 def main() -> None:
@@ -188,7 +254,9 @@ def main() -> None:
 
     print("devices:", jax.devices())
     if args.quality_gate:
-        ok = quality_gate()
+        # the gate needs enough optimization to learn; the plain soak's
+        # 8-epoch default is a loss-decrease smoke, so floor at 10
+        ok = quality_gate(epochs=max(args.epochs, 10), family=args.family)
         print("QUALITY GATE", "PASS" if ok else "FAIL")
         sys.exit(0 if ok else 1)
     with tempfile.TemporaryDirectory() as root:
