@@ -40,11 +40,17 @@ def init_distributed() -> None:
     if not addr:
         return
     kwargs = {}
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs = dict(
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if (num is None) != (pid is None):
+        missing = "JAX_PROCESS_ID" if pid is None else "JAX_NUM_PROCESSES"
+        raise SystemExit(
+            "init_distributed: JAX_NUM_PROCESSES and JAX_PROCESS_ID must be "
+            f"set together for a manual multi-process launch; {missing} is "
+            "missing"
         )
+    if num is not None:
+        kwargs = dict(num_processes=int(num), process_id=int(pid))
     jax.distributed.initialize(coordinator_address=addr, **kwargs)
 
 

@@ -24,14 +24,17 @@ def _dist_rank() -> int:
     jax.process_index() would instantiate the backend — fatal when called
     (e.g. by a module-level ranked_logger) before jax.distributed.initialize
     in a multi-process launch, and it would also freeze rank 0 into every
-    logger created before init. The distributed global_state carries the
-    rank as a plain int (0 when single-process / uninitialized)."""
+    logger created before init. The public jax.distributed.is_initialized()
+    gates the lookup; before init (or single-process) the rank is 0 by
+    definition, and the fallback never touches the XLA backend."""
     try:
+        if not jax.distributed.is_initialized():
+            return 0
         from jax._src import distributed
 
         return int(distributed.global_state.process_id or 0)
     except Exception:  # pragma: no cover — jax internals moved
-        return jax.process_index() if jax.process_count() > 1 else 0
+        return 0
 
 
 class _RankFormatter(logging.Formatter):
