@@ -35,14 +35,19 @@ def evaluate_model(
         clean = np.asarray(pair["clean"])
         noisy = np.asarray(pair["perturbed"])
         enhanced = np.asarray(enhance_fn(noisy, sub))
-        rows.append(evaluate_pair(clean, enhanced, noisy))
+        rows.append(evaluate_pair(clean, enhanced, noisy, sr=sr))
         if i < num_figures:
             from use_tpu.utils.graphics import visualize_example
 
             figures.append(visualize_example(noisy, enhanced, clean, sr=sr))
             audio.append({"noisy": noisy, "enhanced": enhanced, "clean": clean})
 
-    keys = rows[0].keys() if rows else []
-    means = {k: float(np.mean([r[k] for r in rows])) for k in keys}
+    # union of keys: per-utterance scorers may skip (e.g. ESTOI on clips
+    # shorter than its 384 ms segment window); average over rows that have
+    # each key
+    keys = sorted({k for r in rows for k in r})
+    means = {
+        k: float(np.mean([r[k] for r in rows if k in r])) for k in keys
+    }
     log.info("eval: " + " ".join(f"{k}={v:.3f}" for k, v in means.items()))
     return {"metrics": means, "per_utt": rows, "figures": figures, "audio": audio}

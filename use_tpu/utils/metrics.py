@@ -97,17 +97,32 @@ def pesq_wb(ref: np.ndarray, deg: np.ndarray, sr: int = 16000) -> float:
 
 
 def estoi(ref: np.ndarray, deg: np.ndarray, sr: int = 10000) -> float:
-    """Extended STOI via the optional `pystoi` package (inference.py:51)."""
+    """Extended STOI (inference.py:51). Computed by the NATIVE numpy
+    implementation (utils/intelligibility.py, Jensen & Taal 2016); when the
+    optional `pystoi` package is present it is preferred as the published
+    scorer (and the native path is golden-checked against it in tests)."""
     try:
         from pystoi import stoi as _stoi
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("ESTOI requires the 'pystoi' package (not installed)") from e
-    return float(_stoi(ref, deg, sr, extended=True))
+
+        return float(_stoi(ref, deg, sr, extended=True))
+    except ImportError:
+        from use_tpu.utils.intelligibility import estoi_np
+
+        return estoi_np(ref, deg, sr)
 
 
-def evaluate_pair(clean: np.ndarray, enhanced: np.ndarray, noisy: np.ndarray) -> Dict[str, float]:
-    """Metric dict for one utterance (util/inference.py:23-101 analog),
-    skipping scorers whose optional backends are missing."""
+def evaluate_pair(
+    clean: np.ndarray, enhanced: np.ndarray, noisy: np.ndarray,
+    sr: int = 24000,
+) -> Dict[str, float]:
+    """Metric dict for one utterance (util/inference.py:23-101 analog).
+
+    ESTOI is always computed (native implementation). PESQ (ITU P.862)
+    remains gated on the external `pesq` package — the codec is not
+    reimplementable here and the package is absent in this environment, so
+    the key is simply missing from the dict when unavailable."""
+    from use_tpu.data.dsp import resample_poly
+
     out = {
         "si_sdr": si_sdr(clean, enhanced),
         "lsd": lsd(enhanced, clean),
@@ -115,16 +130,20 @@ def evaluate_pair(clean: np.ndarray, enhanced: np.ndarray, noisy: np.ndarray) ->
     n = noisy[: len(clean)] - clean[: len(noisy)]
     sdr, sir, sar = energy_ratios(enhanced[: len(clean)], clean[: len(enhanced)], n)
     out.update({"si_sir": sir, "si_sar": sar})
-    for name, fn in (("pesq_wb", pesq_wb), ("estoi", estoi)):
-        try:
-            from use_tpu.data.dsp import resample_poly
-
-            sr_target = 16000 if name == "pesq_wb" else 10000
-            out[name] = fn(
-                resample_poly(clean, 24000, sr_target),
-                resample_poly(enhanced, 24000, sr_target),
-                sr_target,
-            )
-        except ImportError:
-            pass
+    try:
+        out["estoi"] = estoi(
+            resample_poly(clean, sr, 10000),
+            resample_poly(enhanced, sr, 10000),
+            10000,
+        )
+    except ValueError:
+        pass  # clip too short/silent for the 384 ms segment analysis
+    try:
+        out["pesq_wb"] = pesq_wb(
+            resample_poly(clean, sr, 16000),
+            resample_poly(enhanced, sr, 16000),
+            16000,
+        )
+    except ImportError:
+        pass
     return out
