@@ -101,6 +101,25 @@ def main() -> None:
     wall_sampler = timed(run_sampler, params, y_spec, readback="scalar")
     throughput = audio_s / wall_full  # == RTF per chip for one stream
 
+    # MFU vs the XLA cost model: flops of the whole compiled wav->wav
+    # program (30 network evals + front-end/iSTFT) over the measured wall,
+    # against the v5e bf16 peak (197 TFLOP/s). Falls back to the measured
+    # 6.46 TFLOP/forward cost model (BASELINE.md speed-of-light analysis)
+    # if cost_analysis is unavailable on this backend.
+    V5E_PEAK_FLOPS = 197e12
+    try:
+        ca = (
+            run_full.lower(params, wav_dev, jax.random.PRNGKey(1))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total_flops = float(ca["flops"])
+    except Exception:
+        total_flops = N_STEPS * BATCH * 6.46e12 * (AUDIO_SECONDS / 10.0)
+    mfu = total_flops / wall_full / V5E_PEAK_FLOPS
+
     print(
         json.dumps(
             {
@@ -109,6 +128,7 @@ def main() -> None:
                 "unit": "audio-s/s",
                 "vs_baseline": round(throughput / TARGET_RTF, 4),
                 "sampler_only_audio_s_per_s": round(audio_s / wall_sampler, 3),
+                "mfu": round(mfu, 4),
             }
         )
     )

@@ -193,7 +193,14 @@ def _test_after_fit(model, cfg, dm, out_dir: str, history: List[Dict],
     on best_model_path + get_metric_value). The persisted value is the best
     checkpoint's monitored metric — a trial whose final epoch regressed
     still reports its best, and the test/* row comes from that same best
-    state, not the last epoch's."""
+    state, not the last epoch's. Runs on process 0 only (matching
+    MetricLogger's rank gating): in a multi-host launch every rank would
+    otherwise compute means over its local data shard and race writing the
+    same optimized_metric.json."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     from use_tpu.engine.checkpoint import CheckpointManager
 
     monitor = "val/loss_Score" if cfg["task"] == "sgmse" else "val/loss_G"
@@ -412,6 +419,8 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
       predict.chain=gan+sgmse  — LSGAN output becomes the diffusion prior /
         conditioning (requires an SGMSE config with condition=both|denoised)
     with predict.second_experiment= / predict.second_ckpt= for stage two.
+    Overrides prefixed `second.` apply to the second experiment's config
+    (e.g. second.model.condition=both second.model.sde_input=denoised).
     """
     import jax
     import jax.numpy as jnp
@@ -420,6 +429,9 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
     from use_tpu.data.datamodule import LoadWavDataModule
     from use_tpu.data.loadwav import LoadWavConfig
 
+    second_overrides = [o[len("second."):] for o in overrides
+                        if o.startswith("second.")]
+    overrides = [o for o in overrides if not o.startswith("second.")]
     cfg = load_config(experiment, overrides)
     data_folder = extras.get("predict.data_folder")
     target_folder = extras.get("predict.target_folder")
@@ -439,7 +451,9 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
     chain = extras.get("predict.chain")
     second = second_params = second_cfg = None
     if chain:
-        second_cfg = load_config(extras["predict.second_experiment"])
+        second_cfg = load_config(
+            extras["predict.second_experiment"], second_overrides
+        )
         second = _build_model(second_cfg)
         second_params = infer_params(
             second, second_cfg, extras.get("predict.second_ckpt")
@@ -496,13 +510,14 @@ def cmd_predict(experiment: str, overrides: List[str], extras: Dict[str, str]) -
         # single-utterance latency default: overlapped chunk-8 sampling
         # rides the efficient batch-8 MXU path (1.71x vs full-clip batch-1,
         # scripts/bench_batch1.py; quality-gated in tests/test_learning.py).
-        # infer.chunks=1 disables; hybrid conditioning ('fake') and short
-        # clips run full-clip.
+        # infer.chunks=1 disables (reference-exact full-clip sampling);
+        # hybrid conditioning ('fake') and clips under 5 s run full-clip.
         chunks = int(icfg.get("chunks", 8))
+        sr = int(cfg["data"].get("sampling_rate", 24000))
         wav_in = batch["perturbed"]
         if (chunks > 1 and wav_in.shape[0] == 1 and "fake" not in batch
                 and kw["sampler_type"] == "pc"
-                and wav_in.shape[-1] >= 5 * 24000):
+                and wav_in.shape[-1] >= 5 * sr):
             out = m.sample_chunked(
                 p, batch, rng, n_chunks=chunks,
                 overlap_frames=int(icfg.get("chunk_overlap_frames", 32)), **kw

@@ -313,7 +313,9 @@ class ScoreModel:
         # hop-aligned chunk starts keep the STFT framing identical per lane
         hop = -(-hop // self.hop_length) * self.hop_length
         n = -(-length // hop)  # actual lanes after alignment
-        if n <= 1 or hop <= overlap:
+        if n <= 1 or hop <= overlap or overlap <= 0:
+            # overlap<=0 would make the crossfade ramps empty ([-0:] slices
+            # the whole window) — fall back to full-clip sampling
             return self.sample(params, batch, rng, **sample_kwargs)
         win = hop + overlap
         padded = jnp.pad(
