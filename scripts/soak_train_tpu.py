@@ -262,6 +262,12 @@ def quality_gate(epochs: int = 12, steps_per_epoch: int = 50,
             g_loss_cfg=losses.HifiganGLossConfig(
                 sampling_rate=SR, alpha_wav_l1=1.0, alpha_adv_feat=1.0),
         )
+        # g_lr 2e-3 — the CHIP-stable probe rate. Measured (BASELINE.md
+        # round-5): the tiny adversarial probe's stable G-lr ranges do not
+        # overlap across backends — on the chip 2e-3 gains +4.47 dB while
+        # 5e-4/1e-3 diverge (-27.9/-7.1 dB); on exact-f32 CPU it is the
+        # reverse (2e-3 diverges to -40 dB, 5e-4 gains +7.0). The CPU CI
+        # twin (tests/test_learning.py) therefore pins 5e-4.
         res = fit_lsgan(
             gan, _gate_dm(length, steps_per_epoch, 0.0), g_lr=2e-3,
             d_lr=1e-4, accumulate_grad_batches=1,

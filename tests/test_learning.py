@@ -9,14 +9,20 @@ corpus through the REAL engine (fit_sgmse / fit_lsgan — the same code
 cmd_train drives), then enhance HELD-OUT noisy items via evaluate_model and
 assert SI-SDR(enhanced) beats SI-SDR(noisy) by a margin.
 
-Measured headroom when these gates were set (CPU, f32): SGMSE reaches
-~+4.5..+5.7 dB over the noisy input after 400 steps (5 dB-SNR probe); the
-LSGAN generator reaches +1.9 dB after 250 steps (0 dB-SNR probe — its
-output SI-SDR is reconstruction-bound at this training length, so the
-lower input SNR exposes the gain). The gates assert a conservative
-fraction of the measured numbers so they pin "learning happened", not an
-exact trajectory. The TPU counterpart runs in scripts/soak_train_tpu.py
-(--quality-gate) with the result recorded in BASELINE.md.
+Probes are formant-synthesized pseudo-speech (use_tpu/data/synth_speech.py
+— pitch contour + vowel formants + voiced/unvoiced structure), replacing
+the round-4 harmonic combs so the gates measure enhancement on speech-like
+spectra. Measured headroom when the gates were re-set for the speech
+probes (CPU, f32, scripts/probe_gate_study.py): SGMSE reaches +5.65 dB
+over the noisy input after 600 steps on a 12-probe pool (5 dB-SNR probe);
+the LSGAN generator reaches +4.47 dB after 500 steps (0 dB-SNR probe,
+nf=32 G, d_lr=1e-4, alpha_adv_feat=1 — its output SI-SDR is
+reconstruction-bound at this training length, so the lower input SNR
+exposes the gain; the shipping feat-10/fast-D balance collapses the tiny
+probe D). The gates assert a conservative fraction of the measured
+numbers so they pin "learning happened", not an exact trajectory. The TPU
+counterpart runs in scripts/soak_train_tpu.py (--quality-gate) with the
+result recorded in BASELINE.md.
 """
 import numpy as np
 import pytest
@@ -29,6 +35,7 @@ from use_tpu.engine.loop import fit_lsgan, fit_sgmse
 from use_tpu.models.gan.discriminators import MultiPeriodDiscriminator
 from use_tpu.models.gan.generator import NCSNPPWrapper
 from use_tpu.models.gan.lsgan import LSGAN
+from use_tpu.data.synth_speech import synth_pair
 from use_tpu.models.sgmse.score_model import ScoreModel
 from use_tpu.utils.metrics import si_sdr
 
@@ -36,38 +43,38 @@ SR = 24000
 
 
 def _make_pair(length, seed, snr_db=5.0):
-    """Harmonic 'voiced' clean signal + white noise at snr_db."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(length) / SR
-    f0 = 150 + 60 * rng.random()
-    clean = sum(
-        (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
-        for k in range(1, 12)
-    )
-    clean = (0.3 * clean / np.max(np.abs(clean))).astype(np.float32)
-    noise = rng.standard_normal(length).astype(np.float32)
-    noise *= np.sqrt(
-        np.mean(clean**2) / np.mean(noise**2) / 10 ** (snr_db / 10)
-    )
-    return clean, (clean + noise).astype(np.float32)
+    """Formant-synthesized pseudo-speech + white noise at snr_db.
+
+    Speech-shaped probes (pitch contour, vowel formants, voiced/unvoiced
+    segments — use_tpu/data/synth_speech.py) rather than a stationary
+    harmonic comb, approximating the EARS clean-speech distribution the
+    reference trains on (comm_distort_simu_dataset.py get_clean)."""
+    return synth_pair(length, seed, snr_db=snr_db, sr=SR)
 
 
 class _FixedPairsDM:
-    """Fixed toy corpus: the same 4 (clean, noisy) pairs every step."""
+    """Fixed toy corpus: a pool of (clean, noisy) speech-probe pairs served
+    batch-4 in deterministic rotation. The formant probes need a larger
+    pool than the old harmonic combs (one random vowel+f0 per probe; 4
+    examples don't span the space the held-out items draw from)."""
 
-    def __init__(self, length, steps_per_epoch, snr_db=5.0):
+    def __init__(self, length, steps_per_epoch, snr_db=5.0, pool=12):
         self.local_batch = 4
         self._steps = steps_per_epoch
-        pairs = [_make_pair(length, s, snr_db) for s in range(4)]
+        pairs = [_make_pair(length, s, snr_db) for s in range(pool)]
         self._clean = np.stack([p[0] for p in pairs])
         self._noisy = np.stack([p[1] for p in pairs])
+        self._P = pool
 
     def train_dataloader(self):
+        idx = 0
         for _ in range(self._steps):
-            yield {"clean": self._clean, "perturbed": self._noisy}
+            sel = [(idx + j) % self._P for j in range(4)]
+            idx = (idx + 4) % self._P
+            yield {"clean": self._clean[sel], "perturbed": self._noisy[sel]}
 
     def val_dataloader(self):
-        yield {"clean": self._clean, "perturbed": self._noisy}
+        yield {"clean": self._clean[:4], "perturbed": self._noisy[:4]}
 
 
 def _heldout_pairs(length, n=2, snr_db=5.0):
@@ -91,7 +98,7 @@ def test_sgmse_learns_to_enhance():
     )
     res = fit_sgmse(
         model, _FixedPairsDM(length, steps_per_epoch=50), lr=2e-3,
-        accumulate_grad_batches=1, max_epochs=8, seed=0, mesh=None,
+        accumulate_grad_batches=1, max_epochs=12, seed=0, mesh=None,
         scheduler={"step_size": 1000, "gamma": 1.0},
     )
     assert res.history[-1]["train/loss_Score"] < res.history[0]["train/loss_Score"]
@@ -156,21 +163,31 @@ def test_lsgan_generator_learns_to_enhance():
     length = (32 - 1) * 32
     gen = NCSNPPWrapper(
         n_fft=126, hop_length=32, num_frames=32,
-        backbone_kwargs=dict(nf=16, ch_mult=(1, 1), num_res_blocks=1),
+        backbone_kwargs=dict(nf=32, ch_mult=(1, 1), num_res_blocks=1),
     )
     gan = LSGAN(
         generator=gen, discriminator=_TinyMPD(),
-        # uniform criterion weights (a per-experiment config in the
-        # reference too): the shipping 0.1 wav-L1 weight starves the
-        # phase/time-domain gradient this short overfit needs
+        # gate-probe criterion weights (per-experiment configs in the
+        # reference too): unit wav-L1 keeps the time-domain gradient the
+        # short overfit needs, and alpha_adv_feat=1 (vs the shipping 10)
+        # stops the tiny D's feature-matching term from dominating — at
+        # feat 10 / d_lr 5e-4 the D collapses to ~0 loss on the speech
+        # probes and G reconstruction diverges (scripts/probe_gate_study.py)
         g_loss_cfg=losses.HifiganGLossConfig(
-            sampling_rate=SR, alpha_wav_l1=1.0,
+            sampling_rate=SR, alpha_wav_l1=1.0, alpha_adv_feat=1.0,
         ),
     )
+    # g_lr 5e-4 — the CPU-stable probe rate (+7.0 dB measured). The tiny
+    # adversarial probe's stable G-lr ranges do NOT overlap across
+    # backends: on exact-f32 CPU 2e-3 diverges (G loss -> 77, output
+    # -40 dB) while 5e-4/1e-3 gain +7.0/+5.0 dB; on the bf16-matmul chip
+    # it is the reverse (2e-3 gains +4.47, 5e-4/1e-3 diverge to
+    # -27.9/-7.1). The on-chip twin (scripts/soak_train_tpu.py) therefore
+    # pins 2e-3. Sweeps: probe_gate_study.py; BASELINE.md round-5.
     res = fit_lsgan(
         gan, _FixedPairsDM(length, steps_per_epoch=50, snr_db=0.0),
-        g_lr=2e-3, d_lr=5e-4,
-        accumulate_grad_batches=1, max_epochs=5, seed=0, mesh=None,
+        g_lr=5e-4, d_lr=1e-4,
+        accumulate_grad_batches=1, max_epochs=10, seed=0, mesh=None,
         scheduler={"step_size": 1000, "gamma": 1.0},
     )
 
